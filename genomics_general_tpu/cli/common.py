@@ -1,0 +1,122 @@
+"""Shared CLI plumbing mirroring the reference scripts' flag conventions
+(window quad, population/ploidy parsing, include/exclude lists; see
+/root/reference/popgenWindows.py:170-307 for the canonical block)."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from .. import windows as W
+from ..samples import SampleData
+
+
+def add_window_args(parser: argparse.ArgumentParser, choices=("sites", "coordinate", "predefined")):
+    parser.add_argument("--windType", action="store", choices=choices, default="coordinate")
+    parser.add_argument("-w", "--windSize", type=int, action="store", required=False)
+    parser.add_argument("-s", "--stepSize", type=int, action="store", required=False)
+    parser.add_argument("-m", "--minSites", type=int, action="store", required=False, default=1)
+    parser.add_argument("-O", "--overlap", type=int, action="store", required=False)
+    parser.add_argument("-D", "--maxDist", type=int, action="store", required=False)
+    parser.add_argument("--windCoords", required=False)
+
+
+def resolve_window_args(args, wind_coord_cols: int = 3):
+    """Validate the window-flag combinations (popgenWindows.py:216-244) and
+    return a dict of window parameters.
+
+    wind_coord_cols: how many --windCoords columns the script keeps —
+    popgenWindows/distMat keep 3 (window IDs become "NA",
+    popgenWindows.py:241), ABBABABA/fourPop keep 4 (ABBABABAwindows.py:176).
+    """
+    wt = args.windType
+    out = {"windType": wt}
+    if wt == "coordinate":
+        assert args.windSize, "Window size must be provided."
+        out["windSize"] = args.windSize
+        out["stepSize"] = args.stepSize or args.windSize
+        assert not args.overlap, "Overlap does not apply to coordinate windows. Use --stepSize instead."
+        assert not args.maxDist, "Maximum distance only applies to sites windows."
+    elif wt == "sites":
+        assert args.windSize, "Window size (number of sites) must be provided."
+        out["windSize"] = args.windSize
+        out["overlap"] = args.overlap or 0
+        out["maxDist"] = args.maxDist or np.inf
+        assert not args.stepSize, "Step size only applies to coordinate windows. Use --overlap instead."
+    elif wt == "predefined":
+        assert args.windCoords, "Please provide a file of window coordinates."
+        assert not args.overlap and not args.maxDist and not args.stepSize
+        assert not getattr(args, "include", None) and not getattr(args, "exclude", None)
+        with open(args.windCoords, "rt") as wc:
+            out["windCoords"] = [line.split()[:wind_coord_cols]
+                                 for line in wc if line.strip()]
+    min_sites = args.minSites
+    if not min_sites:
+        min_sites = args.windSize
+    out["minSites"] = min_sites
+    return out
+
+
+def build_plan(wind, scaffold_ids, positions, scaffold_names):
+    wt = wind["windType"]
+    if wt == "coordinate":
+        return W.plan_coordinate_windows(scaffold_ids, positions,
+                                         wind["windSize"], wind["stepSize"])
+    if wt == "sites":
+        return W.plan_sites_windows(scaffold_ids, positions, wind["windSize"],
+                                    wind["overlap"], wind["maxDist"],
+                                    wind["minSites"])
+    if wt == "predefined":
+        return W.plan_predefined_windows(scaffold_ids, positions,
+                                         scaffold_names, wind["windCoords"])
+    if wt == "cat":
+        return W.plan_cat_window(scaffold_ids, positions)
+    raise ValueError(wt)
+
+
+def add_pop_args(parser: argparse.ArgumentParser):
+    parser.add_argument("-p", "--population", required=False, action="append",
+                        nargs="+", metavar=("popName", "[samples]"))
+    parser.add_argument("--popsFile", action="store", required=False)
+
+
+def add_ploidy_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--ploidy", action="store", type=int, nargs="+")
+    parser.add_argument("--ploidyFile", action="store")
+    parser.add_argument("--haploid", action="store")
+    parser.add_argument("--inferPloidy", action="store_true")
+
+
+def add_io_args(parser: argparse.ArgumentParser, formats=("phased", "pairs", "haplo", "diplo")):
+    parser.add_argument("-g", "--genoFile", required=False)
+    parser.add_argument("-o", "--outFile", required=False)
+    parser.add_argument("--exclude", required=False)
+    parser.add_argument("--include", required=False)
+    parser.add_argument("-f", "--genoFormat", action="store", choices=formats, required=True)
+    parser.add_argument("--header", action="store")
+    parser.add_argument("-T", "--threads", type=int, default=1, required=False,
+                        help="Accepted for reference-CLI compatibility; device "
+                             "parallelism is configured via JAX instead.")
+    parser.add_argument("--verbose", action="store_true")
+
+
+def read_scaffold_list(path: str | None):
+    if not path:
+        return None
+    with open(path, "rt") as f:
+        return [line.rstrip() for line in f.readlines()]
+
+
+def sample_data_from_args(args, extra_inds=None, geno_path=None):
+    """Replicate the reference's pops/ploidy resolution (popgenWindows.py:258-307)."""
+    haploid = args.haploid.split(",") if getattr(args, "haploid", None) else None
+    sd = SampleData.from_pop_args(
+        population_args=getattr(args, "population", None),
+        pops_file=getattr(args, "popsFile", None),
+        extra_inds=extra_inds,
+        ploidy_list=getattr(args, "ploidy", None),
+        ploidy_file=getattr(args, "ploidyFile", None),
+        haploid=haploid,
+        geno_format=args.genoFormat)
+    return sd

@@ -1,0 +1,353 @@
+"""Streaming, vectorized reader for the `.geno` text format.
+
+Format (reference README.md:32-40): whitespace-separated columns
+``#CHROM  POS  ind1  ind2 ...`` with genotype fields like ``A/A``, ``G|T``,
+``N/N`` (phased), ``AT`` (pairs), ``A`` (haplo) or IUPAC ``W`` (diplo).
+Lines starting with ``#`` after the header are skipped
+(reference GenoFileReader.siteBySite, /root/reference/genomics.py:1934-1938).
+
+Instead of the reference's per-line ``str.split`` + per-genotype ``Genotype``
+objects with a memo cache (genomics.py:1884-1932), we parse whole byte chunks
+with numpy:
+
+* newline/tab positions found in one vectorized pass,
+* integer positions decoded by a padded digit-matrix dot product,
+* the genotype block is reshaped to a [lines, width] uint8 matrix (all data
+  lines have identical genotype-block layout in well-formed files) and decoded
+  by per-individual byte-LUT lookups (see ``encoding.decode_genotype_fields``).
+
+A slow per-line fallback handles irregular lines (variable whitespace, ragged
+fields).  Output rows are haplotypes in the reference's sorted order
+(``HaplotypeModel``); values int8 with A=0 C=1 G=2 T=3, missing=-1.
+
+When available, a C++ tokenizer (csrc/geno_parser.cpp, loaded via ctypes)
+replaces the numpy chunk parser; semantics are identical.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import encoding
+from ..samples import HaplotypeModel, SampleData
+
+_POW10 = 10 ** np.arange(19, dtype=np.int64)[::-1]
+
+
+def open_maybe_gz(path: str | None, mode: str = "rb"):
+    """Open path (gz-aware by suffix) or stdin/stdout when path is None,
+    mirroring the reference CLIs (e.g. popgenWindows.py:313-317)."""
+    if path is None:
+        if "r" in mode:
+            return sys.stdin.buffer if "b" in mode else sys.stdin
+        return sys.stdout.buffer if "b" in mode else sys.stdout
+    if path.endswith(".gz"):
+        return gzip.open(path, mode if "b" in mode else mode + "t")
+    return open(path, mode)
+
+
+@dataclass
+class GenoChunk:
+    """One parsed chunk: haplotype rows x sites (sorted row order)."""
+    alleles: np.ndarray          # int8 [H, S]
+    positions: np.ndarray        # int64 [S]
+    scaffold_ids: np.ndarray     # int32 [S], indices into reader.scaffold_names
+
+
+@dataclass
+class GenoData:
+    """A fully materialized dataset (concatenation of chunks)."""
+    alleles: np.ndarray          # int8 [H, S]
+    positions: np.ndarray        # int64 [S]
+    scaffold_ids: np.ndarray     # int32 [S]
+    scaffold_names: list[str]
+    model: "HaplotypeModel"
+
+    @property
+    def n_sites(self) -> int:
+        return self.positions.shape[0]
+
+
+class GenoReader:
+    """Chunked reader producing numeric haplotype matrices.
+
+    Parameters
+    ----------
+    fileobj : binary file-like (already opened; gz handled by caller or
+        ``open_maybe_gz``).
+    sample_data : SampleData giving individuals (column subset), ploidy, pops.
+    geno_format : 'phased' | 'pairs' | 'alleles' | 'haplo' | 'diplo'.
+    header : optional header text when the stream has none
+        (reference ``--header``).
+    """
+
+    def __init__(self, fileobj, sample_data: SampleData | None = None,
+                 geno_format: str = "phased", header: str | None = None,
+                 chunk_bytes: int = 16 << 20):
+        if isinstance(fileobj, str):
+            fileobj = open_maybe_gz(fileobj, "rb")
+        if hasattr(fileobj, "buffer"):      # text stdin
+            fileobj = fileobj.buffer
+        self.f = fileobj
+        self.geno_format = geno_format
+        self.chunk_bytes = chunk_bytes
+        self._tail = b""
+        self._eof = False
+
+        if header is not None:
+            header_line = header.encode() if isinstance(header, str) else header
+        else:
+            header_line = self._read_header_line()
+        cols = header_line.split()
+        self.file_ind_names = [c.decode() for c in cols[2:]]
+
+        if sample_data is None:
+            sample_data = SampleData(ind_names=list(self.file_ind_names))
+        elif not sample_data.ind_names:
+            sample_data.ind_names = list(self.file_ind_names)
+            for ind in self.file_ind_names:
+                sample_data.ploidy.setdefault(ind, 2)
+        self.sample_data = sample_data
+        self.model = HaplotypeModel.build(sample_data)
+
+        name_to_col = {n: i for i, n in enumerate(self.file_ind_names)}
+        try:
+            self.ind_cols = np.array(
+                [name_to_col[n] for n in sample_data.ind_names], dtype=np.int64)
+        except KeyError as e:
+            raise ValueError(f"sample {e.args[0]!r} not found in geno header") from None
+
+        self.scaffold_names: list[str] = []
+        self._scaf_index: dict[bytes, int] = {}
+        # genotype-block layout (established from the first data line)
+        self._field_widths: np.ndarray | None = None
+
+    # ------------------------------------------------------------------ I/O
+
+    def _read_header_line(self) -> bytes:
+        buf = b""
+        while b"\n" not in buf:
+            b_ = self.f.read(4096)
+            if not b_:
+                break
+            buf += b_
+        line, _, rest = buf.partition(b"\n")
+        self._tail = rest
+        return line
+
+    def _read_chunk_lines(self) -> bytes | None:
+        """Return a bytes blob of whole lines (ending with newline), or None at EOF."""
+        if self._eof and not self._tail:
+            return None
+        data = self._tail
+        while True:
+            b_ = self.f.read(self.chunk_bytes)
+            if not b_:
+                self._eof = True
+                break
+            data += b_
+            if len(data) >= self.chunk_bytes:
+                break
+        if self._eof:
+            self._tail = b""
+            if data and not data.endswith(b"\n"):
+                data += b"\n"
+            return data if data else None
+        cut = data.rfind(b"\n")
+        if cut == -1:
+            self._tail = data
+            return self._read_chunk_lines()
+        self._tail = data[cut + 1:]
+        return data[:cut + 1]
+
+    # ------------------------------------------------------------ parsing
+
+    def _scaf_id(self, name: bytes) -> int:
+        sid = self._scaf_index.get(name)
+        if sid is None:
+            sid = len(self.scaffold_names)
+            self._scaf_index[name] = sid
+            self.scaffold_names.append(name.decode())
+        return sid
+
+    def _establish_layout(self, first_line: bytes):
+        parts = first_line.split()
+        gts = parts[2:]
+        widths = np.array([len(g) for g in gts], dtype=np.int64)
+        self._field_widths = widths
+        # byte offset of each genotype field within the tab-joined GT block
+        self._field_offsets = np.concatenate([[0], np.cumsum(widths[:-1] + 1)])
+        self._gt_block_len = int(widths.sum() + len(widths) - 1)
+        # per requested individual: (offset, width)
+        self._sel_offsets = self._field_offsets[self.ind_cols]
+        self._sel_widths = widths[self.ind_cols]
+
+    def parse_chunk(self, blob: bytes) -> GenoChunk | None:
+        """Parse a blob of complete lines into a GenoChunk."""
+        if self._field_widths is None:
+            # find first non-comment line to establish layout
+            for ln in blob.split(b"\n"):
+                if ln and not ln.startswith(b"#"):
+                    self._establish_layout(ln)
+                    break
+            if self._field_widths is None:
+                return None
+        try:
+            return self._parse_chunk_fast(blob)
+        except _FallbackNeeded:
+            return self._parse_chunk_slow(blob)
+
+    def _parse_chunk_fast(self, blob: bytes) -> GenoChunk | None:
+        buf = np.frombuffer(blob, dtype=np.uint8)
+        nl = np.flatnonzero(buf == ord("\n"))
+        if nl.size == 0:
+            return None
+        starts = np.concatenate([[0], nl[:-1] + 1]).astype(np.int64)
+        ends = nl.astype(np.int64)
+        # skip comment lines and empty lines
+        keep = (ends > starts) & (buf[np.minimum(starts, buf.size - 1)] != ord("#"))
+        starts, ends = starts[keep], ends[keep]
+        n = starts.size
+        if n == 0:
+            return GenoChunk(
+                alleles=np.empty((self.model.n_rows, 0), np.int8),
+                positions=np.empty(0, np.int64),
+                scaffold_ids=np.empty(0, np.int32))
+
+        tabs = np.flatnonzero(buf == ord("\t")).astype(np.int64)
+        ti = np.searchsorted(tabs, starts)
+        if np.any(ti + 1 >= tabs.size + 1):
+            raise _FallbackNeeded
+        # guard: need at least two tabs per line
+        if tabs.size < 2 or np.any(ti + 1 >= tabs.size):
+            raise _FallbackNeeded
+        t1 = tabs[ti]
+        t2 = tabs[ti + 1]
+        if np.any(t1 >= ends) or np.any(t2 >= ends):
+            raise _FallbackNeeded
+
+        # ---- genotype block: must be fixed layout
+        gstart = t2 + 1
+        if np.any(ends - gstart != self._gt_block_len):
+            raise _FallbackNeeded
+        block = buf[gstart[:, None] + np.arange(self._gt_block_len)]
+        # verify separators are single tabs at expected offsets
+        sep_off = self._field_offsets[1:] - 1
+        if sep_off.size and not np.all(block[:, sep_off] == ord("\t")):
+            raise _FallbackNeeded
+
+        # ---- positions: vectorized digit parse
+        pw = t2 - t1 - 1
+        maxpw = int(pw.max())
+        if maxpw > 18:
+            raise _FallbackNeeded
+        # right-aligned digit matrix
+        col = np.arange(maxpw)
+        idx = (t2 - maxpw)[:, None] + col[None, :]  # [n, maxpw]
+        valid = col >= (maxpw - pw)[:, None]
+        digits = buf[np.maximum(idx, 0)].astype(np.int64) - ord("0")
+        digits = np.where(valid, digits, 0)
+        if np.any((digits < 0) | (digits > 9)):
+            raise _FallbackNeeded
+        positions = digits @ _POW10[-maxpw:]
+
+        # ---- scaffolds: padded name matrix, find run boundaries
+        sw = t1 - starts
+        maxsw = int(sw.max())
+        scol = np.arange(maxsw)
+        sidx = starts[:, None] + scol
+        svalid = scol < sw[:, None]
+        smat = np.where(svalid, buf[np.minimum(sidx, buf.size - 1)], 0)
+        if n > 1:
+            change = np.any(smat[1:] != smat[:-1], axis=1)
+            boundaries = np.concatenate([[0], np.flatnonzero(change) + 1])
+        else:
+            boundaries = np.array([0], dtype=np.int64)
+        scaffold_ids = np.empty(n, dtype=np.int32)
+        bounds = np.concatenate([boundaries, [n]])
+        for k in range(boundaries.size):
+            b0, b1 = bounds[k], bounds[k + 1]
+            name = blob[starts[b0]:t1[b0]]
+            scaffold_ids[b0:b1] = self._scaf_id(bytes(name))
+
+        # ---- decode genotypes per selected individual
+        H = self.model.n_rows
+        alleles = np.empty((H, n), dtype=np.int8)
+        for j, ind in enumerate(self.sample_data.ind_names):
+            off = self._sel_offsets[j]
+            w = int(self._sel_widths[j])
+            field = block[:, off:off + w]
+            codes = encoding.decode_genotype_fields(
+                field, self.geno_format, len(self.model.ind_order[j]))
+            rows = self.model.ind_order[j]
+            alleles[rows, :] = codes.T
+        return GenoChunk(alleles=alleles, positions=positions,
+                         scaffold_ids=scaffold_ids)
+
+    def _parse_chunk_slow(self, blob: bytes) -> GenoChunk:
+        """Per-line fallback, matching reference parseGenoLine semantics
+        (split on arbitrary whitespace, genomics.py:1884-1904)."""
+        lines = [ln for ln in blob.split(b"\n") if ln and not ln.startswith(b"#")]
+        n = len(lines)
+        H = self.model.n_rows
+        alleles = np.full((H, n), encoding.MISSING, dtype=np.int8)
+        positions = np.empty(n, dtype=np.int64)
+        scaffold_ids = np.empty(n, dtype=np.int32)
+        fmt = self.geno_format
+        for i, ln in enumerate(lines):
+            parts = ln.split()
+            scaffold_ids[i] = self._scaf_id(bytes(parts[0]))
+            positions[i] = int(parts[1])
+            gts = parts[2:]
+            for j, col in enumerate(self.ind_cols):
+                field = np.frombuffer(gts[col], dtype=np.uint8)[None, :]
+                rows = self.model.ind_order[j]
+                try:
+                    codes = encoding.decode_genotype_fields(field, fmt, rows.size)
+                except ValueError:
+                    codes = np.full((1, rows.size), encoding.MISSING, np.int8)
+                alleles[rows, i] = codes[0]
+        return GenoChunk(alleles=alleles, positions=positions,
+                         scaffold_ids=scaffold_ids)
+
+    # ------------------------------------------------------------ drivers
+
+    def iter_chunks(self):
+        while True:
+            blob = self._read_chunk_lines()
+            if blob is None:
+                return
+            chunk = self.parse_chunk(blob)
+            if chunk is not None and chunk.positions.size:
+                yield chunk
+
+    def read_all(self) -> GenoData:
+        chunks = list(self.iter_chunks())
+        if chunks:
+            alleles = np.concatenate([c.alleles for c in chunks], axis=1)
+            positions = np.concatenate([c.positions for c in chunks])
+            scaffold_ids = np.concatenate([c.scaffold_ids for c in chunks])
+        else:
+            alleles = np.empty((self.model.n_rows, 0), np.int8)
+            positions = np.empty(0, np.int64)
+            scaffold_ids = np.empty(0, np.int32)
+        return GenoData(alleles=alleles, positions=positions,
+                        scaffold_ids=scaffold_ids,
+                        scaffold_names=list(self.scaffold_names),
+                        model=self.model)
+
+
+class _FallbackNeeded(Exception):
+    pass
+
+
+def read_geno(path_or_file, sample_data: SampleData | None = None,
+              geno_format: str = "phased", header: str | None = None) -> GenoData:
+    reader = GenoReader(path_or_file, sample_data=sample_data,
+                        geno_format=geno_format, header=header)
+    return reader.read_all()

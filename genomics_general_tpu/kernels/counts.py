@@ -1,0 +1,81 @@
+"""Per-site allele counting on the MXU.
+
+Replaces the reference's per-site Python loops (``binBaseFreqs`` /
+``Alignment.siteFreqs``, /root/reference/genomics.py:592-599, 1049-1052) with
+one batched matmul per chunk:
+
+    counts[s, p, a] = sum_h pop_mask[p, h] * (alleles[h, s] == a)
+
+The one-hot factors are 0/1 bfloat16 and the matmul accumulates in float32
+(``preferred_element_type``), so results are *exact integers* for any
+realistic cohort (< 2^24 haplotypes per population).  Counts are returned as
+int32; every downstream statistic derives from them in float64 on host,
+guaranteeing value-equality with the reference's numpy math.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# sites processed per device dispatch when chunking long site axes
+DEFAULT_SITE_BLOCK = 1 << 18
+
+
+def _one_hot_alleles(alleles: jnp.ndarray) -> jnp.ndarray:
+    """int8 [..., S] -> bf16 one-hot [..., S, 4]; missing (<0) rows are zero."""
+    a = alleles[..., None]
+    codes = jnp.arange(4, dtype=jnp.int8)
+    return (a == codes).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def site_pop_counts(alleles: jnp.ndarray, pop_mask: jnp.ndarray) -> jnp.ndarray:
+    """Base counts per site per population.
+
+    Parameters
+    ----------
+    alleles : int8 [H, S]
+    pop_mask : float/bf16 [P, H] 0/1 membership
+
+    Returns int32 [S, P, 4].
+    """
+    onehot = _one_hot_alleles(alleles)                      # [H, S, 4]
+    H, S, _ = onehot.shape
+    flat = onehot.reshape(H, S * 4)
+    counts = jnp.dot(pop_mask.astype(jnp.bfloat16), flat,
+                     preferred_element_type=jnp.float32)    # [P, S*4]
+    counts = counts.reshape(-1, S, 4).transpose(1, 0, 2)
+    return counts.astype(jnp.int32)
+
+
+@jax.jit
+def site_nonmissing(alleles: jnp.ndarray, pop_mask: jnp.ndarray) -> jnp.ndarray:
+    """Non-missing haplotype count per site per population: int32 [S, P]."""
+    m = (alleles >= 0).astype(jnp.bfloat16)                 # [H, S]
+    out = jnp.dot(pop_mask.astype(jnp.bfloat16), m,
+                  preferred_element_type=jnp.float32)       # [P, S]
+    return out.T.astype(jnp.int32)
+
+
+def site_pop_counts_chunked(alleles: np.ndarray, pop_mask: np.ndarray,
+                            block: int = DEFAULT_SITE_BLOCK) -> np.ndarray:
+    """Host driver: stream site blocks through the device and return numpy
+    int32 [S, P, 4].  Keeps HBM footprint bounded for genome-scale inputs."""
+    H, S = alleles.shape
+    P = pop_mask.shape[0]
+    out = np.empty((S, P, 4), dtype=np.int32)
+    pm = jnp.asarray(pop_mask)
+    for s0 in range(0, S, block):
+        s1 = min(s0 + block, S)
+        out[s0:s1] = np.asarray(site_pop_counts(jnp.asarray(alleles[:, s0:s1]), pm))
+    return out
+
+
+@jax.jit
+def sample_base_counts(alleles: jnp.ndarray) -> jnp.ndarray:
+    """Per-haplotype-row one-hot (for per-individual counting): int32 [H, S, 4]."""
+    return _one_hot_alleles(alleles).astype(jnp.int32)

@@ -1,0 +1,114 @@
+"""Pairwise masked-Hamming counting on the MXU.
+
+The reference's hottest loop is the O(N^2 * L) per-window distance matrix
+(``Alignment.distMatrix`` / ``pairDist`` / ``numHamming``,
+/root/reference/genomics.py:903-916, 1219-1221): for haplotypes i, j
+
+    shared(i,j) = #sites where both are called
+    dist(i,j)   = #mismatches / shared(i,j)          (nan when shared == 0)
+
+We compute the two integer count matrices with batched matmuls over 0/1
+one-hot factors (f32 accumulation => exact integers):
+
+    match(i,j)  = sum_s sum_a onehot[i,s,a] * onehot[j,s,a]
+    shared(i,j) = sum_s called[i,s] * called[j,s]
+    mismatch    = shared - match
+
+The float64 division and all block/nan reductions happen on host
+(stats/popgen.py) to stay bit-identical with the reference.
+
+Window batching: windows are contiguous spans of the chunk's site axis; a
+batch gathers B spans padded to S_max (padding index 0 with valid=False, so
+padded sites contribute nothing).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def pairwise_counts(window_alleles: jnp.ndarray,
+                    valid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched pairwise mismatch/shared counts.
+
+    Parameters
+    ----------
+    window_alleles : int8 [B, H, S] (padded window batch)
+    valid : bool [B, S] validity of each padded site slot
+
+    Returns (mismatch int32 [B, H, H], shared int32 [B, H, H]).
+    """
+    v = valid[:, None, :]                                        # [B,1,S]
+    called = ((window_alleles >= 0) & v).astype(jnp.bfloat16)     # [B,H,S]
+    shared = jnp.einsum("bhs,bgs->bhg", called, called,
+                        preferred_element_type=jnp.float32)
+    codes = jnp.arange(4, dtype=jnp.int8)
+    onehot = ((window_alleles[..., None] == codes) & v[..., None])
+    onehot = onehot.astype(jnp.bfloat16)                          # [B,H,S,4]
+    B, H, S, _ = onehot.shape
+    flat = onehot.reshape(B, H, S * 4)
+    match = jnp.einsum("bhx,bgx->bhg", flat, flat,
+                       preferred_element_type=jnp.float32)
+    mismatch = shared - match
+    return mismatch.astype(jnp.int32), shared.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("s_max",))
+def gather_window_batch(alleles: jnp.ndarray, first: jnp.ndarray,
+                        n_sites: jnp.ndarray, s_max: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather B contiguous spans from alleles [H, S] into [B, H, s_max].
+
+    first : int32 [B] span starts; n_sites : int32 [B] span lengths.
+    Padded slots gather site 0 but are masked by the returned valid [B, s_max].
+    """
+    offs = jnp.arange(s_max, dtype=jnp.int32)
+    idx = first[:, None] + offs[None, :]
+    valid = offs[None, :] < n_sites[:, None]
+    idx = jnp.where(valid, idx, 0)
+    wa = alleles[:, idx]                   # [H, B, s_max]
+    return wa.transpose(1, 0, 2), valid
+
+
+def window_pair_counts(alleles_dev: jnp.ndarray, first: np.ndarray,
+                       n_sites: np.ndarray, batch_size: int = 64,
+                       bucket_rounding: int = 512):
+    """Host driver: compute pairwise counts for all windows.
+
+    Windows are bucketed by padded length (rounded up to ``bucket_rounding``)
+    to bound recompilation, and dispatched in batches.  Returns numpy
+    (mismatch [W, H, H], shared [W, H, H]) in window order.
+    """
+    W = first.shape[0]
+    H = alleles_dev.shape[0]
+    mism = np.empty((W, H, H), dtype=np.int32)
+    shar = np.empty((W, H, H), dtype=np.int32)
+    if W == 0:
+        return mism, shar
+    padded = np.maximum(
+        bucket_rounding,
+        ((n_sites + bucket_rounding - 1) // bucket_rounding) * bucket_rounding)
+    order = np.argsort(padded, kind="stable")
+    i = 0
+    while i < W:
+        j = i
+        s_max = int(padded[order[i]])
+        while j < W and padded[order[j]] == s_max and j - i < batch_size:
+            j += 1
+        sel = order[i:j]
+        b = sel.size
+        f = np.zeros(batch_size, dtype=np.int32)
+        ns = np.zeros(batch_size, dtype=np.int32)
+        f[:b] = first[sel]
+        ns[:b] = n_sites[sel]
+        wa, valid = gather_window_batch(alleles_dev, jnp.asarray(f),
+                                        jnp.asarray(ns), s_max)
+        m, s = pairwise_counts(wa, valid)
+        mism[sel] = np.asarray(m[:b])
+        shar[sel] = np.asarray(s[:b])
+        i = j
+    return mism, shar

@@ -1,0 +1,290 @@
+"""Float64 finalize for distance- and frequency-based window statistics.
+
+The device produces exact integer count tensors (mismatch/shared pair counts,
+per-site per-pop base counts); this module reproduces the reference's numpy
+float64 arithmetic on top of them, including its quirks:
+
+* ``nanmean_min`` minData gate with strict ``<`` (/root/reference/genomics.py:88-90),
+* diagonal-NaN / minSites-mask mutation of the *cached* distance matrix, which
+  makes later analyses in the same window see the mutated matrix
+  (genomics.py:963, 935-940; popgenWindows.py:51-64 ordering),
+* the ``sampleHet`` operator-precedence bug (genomics.py:924): the guard
+  parses as ``len(x) == (2 & shared) >= minSites``, so a diploid's het is NaN
+  unless bit 1 of the shared-site count is set,
+* sequential (non-pairwise) Python ``sum`` in groupFreqStats/TajimaD
+  (genomics.py:1017-1019, 621-623) — replicated with cumsum tails,
+* ``baseCountPi`` term order (genomics.py:609-616).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def nanmean_min_blocks(blocks: np.ndarray, min_data: float) -> np.ndarray:
+    """Vectorized reference nanmean_min (genomics.py:88-90) over [W, ...] blocks.
+
+    Returns [W] with NaN where the non-NaN fraction is < min_data (strict),
+    else np.nanmean of the block.
+    """
+    W = blocks.shape[0]
+    flat = blocks.reshape(W, -1)
+    size = flat.shape[1]
+    n_nan = np.isnan(flat).sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        means = np.nanmean(flat, axis=1)
+    gate = (1 - (1.0 * n_nan) / size) < min_data
+    means[gate] = np.nan
+    return means
+
+
+def dist_matrix(mismatch: np.ndarray, shared: np.ndarray) -> np.ndarray:
+    """float64 proportion distances; 0/0 -> NaN (numHamming of empty mask ->
+    np.mean of empty -> NaN, genomics.py:1219-1221)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        d = mismatch.astype(np.float64) / shared.astype(np.float64)
+    return d
+
+
+class DistStatsContext:
+    """Holds the (mutable) per-window distance matrices the way the reference
+    wrapper holds ``Aln._distMat_`` across analyses (popgenWindows.py:44-64)."""
+
+    def __init__(self, mismatch: np.ndarray, shared: np.ndarray):
+        self.shared = shared.astype(np.int64)
+        self.dist = dist_matrix(mismatch, shared)   # [W, H, H]
+        self.min_sites_applied = False
+        self.diag_nan = False
+
+    def apply_min_sites(self, min_sites: int):
+        if min_sites:
+            self.dist[self.shared < min_sites] = np.nan
+        self.min_sites_applied = True
+
+    def fill_diag_nan(self):
+        W, H, _ = self.dist.shape
+        idx = np.arange(H)
+        self.dist[:, idx, idx] = np.nan
+        self.diag_nan = True
+
+
+def group_dist_stats(ctx: DistStatsContext, row_group: list,
+                     do_pairs: bool, min_sites: int | None,
+                     min_data: float) -> dict:
+    """Reference Alignment.groupDistStats (genomics.py:956-995) over a window
+    batch.  Mutates ctx.dist exactly like the reference mutates _distMat_."""
+    if min_sites:
+        ctx.apply_min_sites(min_sites)
+    ctx.fill_diag_nan()
+    dist = ctx.dist
+    groups = np.array(["" if g is None else g for g in row_group])
+    pops = np.unique(groups)                       # sorted, genomics.py:965
+    pop_idx = [np.flatnonzero(groups == p) for p in pops]
+
+    out = {}
+    for x, p in enumerate(pops):
+        block = dist[:, pop_idx[x][:, None], pop_idx[x][None, :]]
+        out["pi_" + p] = nanmean_min_blocks(block, min_data)
+
+    if len(pops) == 1 or not do_pairs:
+        return out
+
+    for x in range(len(pops) - 1):
+        for y in range(x + 1, len(pops)):
+            bi, bj = pop_idx[x], pop_idx[y]
+            dxy = nanmean_min_blocks(dist[:, bi[:, None], bj[None, :]], min_data)
+            out["dxy_" + pops[x] + "_" + pops[y]] = dxy
+            out["dxy_" + pops[y] + "_" + pops[x]] = dxy
+            n_x, n_y = bi.size, bj.size
+            w = 1.0 * n_x / (n_x + n_y)
+            pi_s = w * out["pi_" + pops[x]] + (1 - w) * out["pi_" + pops[y]]
+            pooled = np.concatenate([bi, bj])      # x-then-y order, :992
+            pi_t = nanmean_min_blocks(dist[:, pooled[:, None], pooled[None, :]],
+                                      min_data)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                fst = 1 - pi_s / pi_t
+            out["Fst_" + pops[x] + "_" + pops[y]] = fst
+            out["Fst_" + pops[y] + "_" + pops[x]] = fst
+    return out
+
+
+def sample_het(ctx: DistStatsContext, sample_names: list[str],
+               sample_rows: list[np.ndarray], min_sites: int | None = None) -> dict:
+    """Reference Alignment.sampleHet (genomics.py:918-929), including the
+    operator-precedence bug in the guard (see module docstring)."""
+    _min_sites = 1 if min_sites is None else min_sites
+    W = ctx.dist.shape[0]
+    out = {}
+    for name, rows in zip(sample_names, sample_rows):
+        if rows.size != 2:
+            # reference raises IndexError for non-diploids here; we emit NaN
+            out[name] = np.full(W, np.nan)
+            continue
+        i, j = int(rows[0]), int(rows[1])
+        shared = ctx.shared[:, i, j]
+        c2 = 2 & shared                                  # the buggy guard
+        ok = (2 == c2) & (c2 >= _min_sites)
+        vals = np.where(ok, ctx.dist[:, i, j], np.nan)
+        out[name] = vals
+    return out
+
+
+def ind_pair_dists(ctx: DistStatsContext, sample_names: list[str],
+                   sample_rows: list[np.ndarray],
+                   include_same_with_same: bool = False,
+                   min_sites: int | None = None) -> dict:
+    """Reference Alignment.indPairDists (genomics.py:934-954): nanmean over
+    haplotype blocks of the (possibly already mutated) distance matrix."""
+    if min_sites:
+        ctx.apply_min_sites(min_sites)
+    if not include_same_with_same:
+        ctx.fill_diag_nan()
+    dist = ctx.dist
+    out: dict = {n: {} for n in sample_names}
+    with np.errstate(invalid="ignore"):
+        for i, ni in enumerate(sample_names):
+            ri = sample_rows[i]
+            for j, nj in enumerate(sample_names):
+                rj = sample_rows[j]
+                block = dist[:, ri[:, None], rj[None, :]].reshape(dist.shape[0], -1)
+                out[ni][nj] = np.nanmean(block, axis=1)
+    return out
+
+
+def cluster_sizes(dist_block: np.ndarray, max_dist: float) -> list[int]:
+    """Greedy haplotype clustering (genomics.py:1239-1261)."""
+    with np.errstate(invalid="ignore"):
+        match = dist_block <= max_dist                 # NaN -> False
+    sizes: list[int] = []
+    while match.shape[0] > 0:
+        most = int(match.sum(axis=1).argmax())
+        matches = int(match[most, :].sum())
+        if matches > 1:
+            sizes.append(matches)
+            keep = ~match[most, :]
+            match = match[np.ix_(keep, keep)]
+        else:
+            sizes += [1] * match.shape[0]
+            break
+    return sizes
+
+
+def h12_stats(ctx: DistStatsContext, row_group: list, max_dist: float) -> dict:
+    """Reference Alignment.H12stats (genomics.py:1079-1098) per window."""
+    dist = ctx.dist
+    W = dist.shape[0]
+    groups = np.array(["" if g is None else g for g in row_group])
+    pops = np.unique(groups)
+    out = {}
+    for p in pops:
+        idx = np.flatnonzero(groups == p)
+        H1 = np.empty(W)
+        H12 = np.empty(W)
+        H2 = np.empty(W)
+        for w in range(W):
+            sizes = np.array(cluster_sizes(dist[w][np.ix_(idx, idx)], max_dist))
+            freq = sizes / sizes.sum()
+            h1 = (freq ** 2).sum()
+            if len(freq) > 1:
+                h12 = h1 + 2 * freq[0] * freq[1]
+                h2 = (freq[1:] ** 2).sum()
+            else:
+                h12, h2 = h1, 0.0
+            H1[w], H12[w], H2[w] = h1, h12, h2
+        out["H1_" + p] = H1
+        out["H12_" + p] = H12
+        out["H2_" + p] = H2
+    return out
+
+
+def base_count_pi(counts: np.ndarray) -> np.ndarray:
+    """Sitewise multi-allelic pi from base counts [..., 4]
+    (baseCountPi, genomics.py:609-616; exact term order)."""
+    c = counts.astype(np.int64)
+    c0, c1, c2, c3 = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
+    num = c0 * c1 + c0 * c2 + c0 * c3 + c1 * c2 + c1 * c3 + c2 * c3
+    N = c.sum(axis=-1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return num / (0.5 * N * (N - 1))
+
+
+def _seq_sum(a: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Sequential (left-to-right) float64 sum — matches Python builtin ``sum``
+    over a numpy array, which the reference uses (genomics.py:1017-1019)."""
+    if a.shape[axis] == 0:
+        return np.zeros(a.shape[:axis] + a.shape[axis:][1:])
+    return np.cumsum(a, axis=axis).take(-1, axis=axis)
+
+
+def tajima_constants(n: int) -> tuple[float, float, float]:
+    """(a1, e1, e2) from TajimaD (genomics.py:619-632), sequential sums."""
+    a = sum(1.0 / i for i in range(1, n))
+    a2 = sum(1.0 / (i ** 2) for i in range(1, n))
+    b1 = (n + 1.0) / (3 * (n - 1))
+    b2 = (2.0 * (n ** 2 + n + 3)) / (9 * n * (n - 1))
+    c1 = b1 - (1.0 / a)
+    c2 = b2 - ((n + 2) / (a * n)) + a2 / (a ** 2)
+    e1 = c1 / a
+    e2 = c2 / (a ** 2 + a2)
+    return a, e1, e2
+
+
+def group_freq_stats(group_counts: dict, group_sizes: dict,
+                     complete_mask: np.ndarray, window_spans) -> dict:
+    """Reference Alignment.groupFreqStats (genomics.py:1002-1028) per window.
+
+    Parameters
+    ----------
+    group_counts : dict group -> int32 [S, 4] per-site base counts
+        (for the group's haplotype rows).
+    group_sizes : dict group -> N haplotypes.
+    complete_mask : bool [S] — sites with no missing data across the WHOLE
+        alignment (the reference tests all rows, not just the group's;
+        genomics.py:1010).
+    window_spans : iterable of (first, last) site spans.
+
+    Returns dict "l_/S_/thetaPi_/thetaW_/TajD_<group>" -> [W] arrays.
+    """
+    spans = list(window_spans)
+    W = len(spans)
+    out = {}
+    groups = sorted(group_counts.keys())
+    # precompute sitewise pi per group over all sites (complete sites only used)
+    for g in groups:
+        N = group_sizes[g]
+        counts = group_counts[g]
+        site_pi_all = base_count_pi(counts)
+        if N >= 2:
+            harm = sum(1.0 / np.arange(1, N))      # builtin sum: sequential
+            a1, e1, e2 = tajima_constants(N)
+        else:
+            harm = 0.0
+            a1 = e1 = e2 = np.nan
+        l_arr = np.zeros(W, dtype=np.int64)
+        S_arr = np.full(W, np.nan)
+        tp_arr = np.full(W, np.nan)
+        tw_arr = np.full(W, np.nan)
+        td_arr = np.full(W, np.nan)
+        for w, (f, l_) in enumerate(spans):
+            cm = complete_mask[f:l_]
+            site_pi = site_pi_all[f:l_][cm]
+            l = site_pi.shape[0]
+            l_arr[w] = l
+            if l >= 1:
+                S = int(np.count_nonzero(site_pi != 0.0))
+                theta_pi = float(_seq_sum(site_pi))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    theta_w = S / harm if harm != 0 else S / 0.0 if S else np.nan
+                    d = theta_pi - 1.0 * S / a1 if a1 == a1 else np.nan
+                    denom = np.sqrt(e1 * S + e2 * S * (S - 1))
+                    taj_d = d / denom
+                S_arr[w] = S
+                tw_arr[w] = theta_w
+                tp_arr[w] = theta_pi
+                td_arr[w] = taj_d
+        out["l_" + g] = l_arr
+        out["S_" + g] = S_arr
+        out["thetaPi_" + g] = tp_arr
+        out["thetaW_" + g] = tw_arr
+        out["TajD_" + g] = td_arr
+    return out

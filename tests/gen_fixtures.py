@@ -1,0 +1,98 @@
+"""Generate deterministic synthetic .geno fixtures (and population files).
+
+The simulated data intentionally exercises the reference's edge cases:
+multiple scaffolds, a site gap large enough to produce empty coordinate
+windows, ~7% missing genotypes, occasional whole-missing sites, tri-allelic
+sites, and a haploid individual.
+"""
+
+from __future__ import annotations
+
+import gzip
+from pathlib import Path
+
+import numpy as np
+
+HERE = Path(__file__).parent
+DATA = HERE / "data"
+
+
+def simulate_geno(path: Path, n_pops=4, inds_per_pop=5, seed=42,
+                  scaffolds=(("scaf1", 300_000), ("scaf2", 140_000)),
+                  site_density=0.02, missing=0.07, haploid_ind=None,
+                  geno_format="phased"):
+    rng = np.random.default_rng(seed)
+    pops = [f"pop{i+1}" for i in range(n_pops)]
+    inds = [f"{p}_ind{j+1}" for p in pops for j in range(inds_per_pop)]
+    n_ind = len(inds)
+
+    lines = []
+    header = "#CHROM\tPOS\t" + "\t".join(inds)
+    lines.append(header)
+
+    pops_rows = []
+    for p, ind in zip([p for p in pops for _ in range(inds_per_pop)], inds):
+        pops_rows.append(f"{ind}\t{p}")
+
+    for scaf, length in scaffolds:
+        n_sites = int(length * site_density)
+        pos = np.sort(rng.choice(np.arange(1, length + 1), size=n_sites,
+                                 replace=False))
+        # carve a gap to force empty coordinate windows
+        gap_lo, gap_hi = int(length * 0.55), int(length * 0.75)
+        pos = pos[(pos < gap_lo) | (pos > gap_hi)]
+        for p_ in pos:
+            # ancestral/derived allele frequencies per pop with drift
+            anc, der = rng.choice(4, size=2, replace=False)
+            base_f = rng.beta(0.4, 0.4)
+            gts = []
+            for k in range(n_ind):
+                popk = k // inds_per_pop
+                f = np.clip(base_f + rng.normal(0, 0.18 + 0.1 * popk), 0, 1)
+                ploidy = 1 if inds[k] == haploid_ind else 2
+                alleles = np.where(rng.random(ploidy) < f, der, anc)
+                # occasional third allele
+                if rng.random() < 0.01:
+                    alleles[0] = rng.integers(0, 4)
+                codes = ["ACGT"[a] for a in alleles]
+                if rng.random() < missing:
+                    codes = ["N"] * ploidy
+                if geno_format == "phased":
+                    gts.append("|".join(codes))
+                elif geno_format == "diplo":
+                    pair = "".join(sorted(codes))
+                    dip = {"AA": "A", "CC": "C", "GG": "G", "TT": "T",
+                           "GT": "K", "AC": "M", "NN": "N", "CG": "S",
+                           "AG": "R", "AT": "W", "CT": "Y"}
+                    gts.append(dip.get(pair, "N"))
+                elif geno_format == "haplo":
+                    gts.append(codes[0])
+                else:
+                    gts.append("".join(codes))
+            lines.append(f"{scaf}\t{p_}\t" + "\t".join(gts))
+
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    (path.parent / (path.name.split(".")[0] + ".pops.txt")).write_text(
+        "\n".join(pops_rows) + "\n")
+    return inds, pops
+
+
+def main():
+    DATA.mkdir(exist_ok=True)
+    simulate_geno(DATA / "sim1.geno.gz", seed=42)
+    simulate_geno(DATA / "sim_hap.geno.gz", seed=7, haploid_ind="pop1_ind1")
+    simulate_geno(DATA / "sim_diplo.geno.gz", seed=13, geno_format="diplo")
+    # predefined window coordinates for sim1
+    wc = []
+    for a in range(1, 300_000, 60_000):
+        wc.append(f"scaf1\t{a}\t{a + 49_999}\twin_s1_{a}")
+    for a in range(10_000, 140_000, 40_000):
+        wc.append(f"scaf2\t{a}\t{a + 39_999}\twin_s2_{a}")
+    (DATA / "sim1.windCoords.txt").write_text("\n".join(wc) + "\n")
+    print("fixtures written to", DATA)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+#!/bin/bash
+# Generate golden outputs by running the reference scripts on the synthetic
+# fixtures.  Goldens are committed so the test suite does not need the
+# reference checkout.  PYTHONHASHSEED pinned: some reference column orders
+# depend on set iteration order.
+set -euo pipefail
+cd "$(dirname "$0")"
+REF=${REF:-/root/reference}
+export PYTHONHASHSEED=0
+mkdir -p golden
+G=golden
+D=data
+
+POPS4="-p pop1 -p pop2 -p pop3 -p pop4 --popsFile $D/sim1.pops.txt"
+
+echo "== popgenWindows coordinate =="
+python "$REF/popgenWindows.py" -g $D/sim1.geno.gz -f phased \
+  -w 50000 -s 25000 -m 100 --minData 0.3 $POPS4 \
+  --analysis popFreq popDist popPairDist indPairDist indHet hapStats \
+  --writeFailedWindows --addWindowID \
+  -o $G/popgen_coord.csv 2>/dev/null
+
+echo "== popgenWindows sites =="
+python "$REF/popgenWindows.py" -g $D/sim1.geno.gz -f phased \
+  --windType sites -w 250 -O 50 -D 50000 -m 100 $POPS4 \
+  --analysis popDist popPairDist \
+  -o $G/popgen_sites.csv 2>/dev/null
+
+echo "== popgenWindows predefined =="
+python "$REF/popgenWindows.py" -g $D/sim1.geno.gz -f phased \
+  --windType predefined --windCoords $D/sim1.windCoords.txt -m 50 $POPS4 \
+  --analysis popDist popPairDist --writeFailedWindows --addWindowID \
+  -o $G/popgen_predef.csv 2>/dev/null
+
+echo "== popgenWindows haploid mix =="
+python "$REF/popgenWindows.py" -g $D/sim_hap.geno.gz -f phased \
+  -w 50000 -m 50 -p pop1 -p pop2 --popsFile $D/sim_hap.pops.txt \
+  --haploid pop1_ind1 \
+  --analysis popDist popPairDist \
+  -o $G/popgen_hap.csv 2>/dev/null
+
+echo "== popgenWindows diplo format =="
+python "$REF/popgenWindows.py" -g $D/sim_diplo.geno.gz -f diplo \
+  -w 50000 -m 50 -p pop1 -p pop2 --popsFile $D/sim_diplo.pops.txt \
+  --analysis popDist popPairDist \
+  -o $G/popgen_diplo.csv 2>/dev/null
+
+echo "== ABBABABAwindows coordinate =="
+python "$REF/ABBABABAwindows.py" -g $D/sim1.geno.gz -f phased \
+  -w 50000 -s 25000 -m 50 --minData 0.3 \
+  -P1 pop1 -P2 pop2 -P3 pop3 -O pop4 --popsFile $D/sim1.pops.txt \
+  --writeFailedWindows \
+  -o $G/abba_coord.csv 2>/dev/null
+
+echo "== ABBABABAwindows sites =="
+python "$REF/ABBABABAwindows.py" -g $D/sim1.geno.gz -f phased \
+  --windType sites -w 100 -m 100 \
+  -P1 pop1 -P2 pop2 -P3 pop3 -O pop4 --popsFile $D/sim1.pops.txt \
+  -o $G/abba_sites.csv 2>/dev/null
+
+echo "== fourPopWindows =="
+python "$REF/fourPopWindows.py" -g $D/sim1.geno.gz -f phased \
+  -w 50000 -s 50000 -m 50 --minData 0.3 \
+  -P1 pop1 -P2 pop2 -P3 pop3 -O pop4 --popsFile $D/sim1.pops.txt \
+  --writeFailedWindows \
+  -o $G/fourpop_coord.csv 2>/dev/null
+
+echo "== freq baseCounts =="
+python "$REF/freq.py" -g $D/sim1.geno.gz -f phased $POPS4 \
+  -o $G/freq_counts.tsv 2>/dev/null
+
+echo "== freq derived =="
+python "$REF/freq.py" -g $D/sim1.geno.gz -f phased $POPS4 \
+  --target derived --minData 2 \
+  -o $G/freq_derived.tsv 2>/dev/null
+
+echo "== sfs from genotypes (folded + polarized) =="
+python "$REF/sfs.py" -i $D/sim1.geno.gz --inputType genotypes \
+  --genoFormat phased -p pop1 -p pop2 --popsFile $D/sim1.pops.txt \
+  --doPairs --pref $G/sfs_folded_ --suff .sfs 2>/dev/null
+python "$REF/sfs.py" -i $D/sim1.geno.gz --inputType genotypes \
+  --genoFormat phased -p pop1 -p pop2 -p pop4 --popsFile $D/sim1.pops.txt \
+  --polarized --pref $G/sfs_pol_ --suff .sfs 2>/dev/null
+
+echo "== distMat windows =="
+python "$REF/distMat.py" -g $D/sim1.geno.gz -f phased \
+  -w 50000 -m 50 --outFormat phylip \
+  --windowDataOutFile $G/distmat_wind.data.tsv \
+  -o $G/distmat_wind.phy 2>/dev/null
+
+echo "== distMat cat =="
+python "$REF/distMat.py" -g $D/sim1.geno.gz -f phased \
+  --windType cat --outFormat phylip \
+  -o $G/distmat_cat.phy 2>/dev/null
+
+echo "done."

@@ -1,0 +1,69 @@
+"""Differential tests: popgenWindows CLI vs reference goldens.
+
+Goldens are produced by tests/gen_golden.sh running the actual reference
+scripts (/root/reference) on the committed synthetic fixtures.
+"""
+
+import pytest
+
+from .util import REPO, assert_csv_equal, run_cli
+
+D = REPO / "tests" / "data"
+G = REPO / "tests" / "golden"
+POPS = ["-p", "pop1", "-p", "pop2", "-p", "pop3", "-p", "pop4",
+        "--popsFile", str(D / "sim1.pops.txt")]
+MOD = "genomics_general_tpu.cli.popgen_windows"
+
+
+@pytest.mark.golden
+def test_coordinate_full_panel(tmp_path):
+    out = tmp_path / "o.csv"
+    run_cli(MOD, ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
+                  "-w", "50000", "-s", "25000", "-m", "100", "--minData", "0.3",
+                  *POPS,
+                  "--analysis", "popFreq", "popDist", "popPairDist",
+                  "indPairDist", "indHet", "hapStats",
+                  "--writeFailedWindows", "--addWindowID", "-o", str(out)])
+    assert_csv_equal(G / "popgen_coord.csv", out)
+
+
+@pytest.mark.golden
+def test_sites_windows(tmp_path):
+    out = tmp_path / "o.csv"
+    run_cli(MOD, ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
+                  "--windType", "sites", "-w", "250", "-O", "50", "-D", "50000",
+                  "-m", "100", *POPS,
+                  "--analysis", "popDist", "popPairDist", "-o", str(out)])
+    assert_csv_equal(G / "popgen_sites.csv", out)
+
+
+@pytest.mark.golden
+def test_predefined_windows(tmp_path):
+    out = tmp_path / "o.csv"
+    run_cli(MOD, ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
+                  "--windType", "predefined",
+                  "--windCoords", str(D / "sim1.windCoords.txt"), "-m", "50",
+                  *POPS, "--analysis", "popDist", "popPairDist",
+                  "--writeFailedWindows", "--addWindowID", "-o", str(out)])
+    assert_csv_equal(G / "popgen_predef.csv", out)
+
+
+@pytest.mark.golden
+def test_haploid_mix(tmp_path):
+    out = tmp_path / "o.csv"
+    run_cli(MOD, ["-g", str(D / "sim_hap.geno.gz"), "-f", "phased",
+                  "-w", "50000", "-m", "50", "-p", "pop1", "-p", "pop2",
+                  "--popsFile", str(D / "sim_hap.pops.txt"),
+                  "--haploid", "pop1_ind1",
+                  "--analysis", "popDist", "popPairDist", "-o", str(out)])
+    assert_csv_equal(G / "popgen_hap.csv", out)
+
+
+@pytest.mark.golden
+def test_diplo_format(tmp_path):
+    out = tmp_path / "o.csv"
+    run_cli(MOD, ["-g", str(D / "sim_diplo.geno.gz"), "-f", "diplo",
+                  "-w", "50000", "-m", "50", "-p", "pop1", "-p", "pop2",
+                  "--popsFile", str(D / "sim_diplo.pops.txt"),
+                  "--analysis", "popDist", "popPairDist", "-o", str(out)])
+    assert_csv_equal(G / "popgen_diplo.csv", out)
