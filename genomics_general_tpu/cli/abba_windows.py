@@ -1,0 +1,151 @@
+"""TPU-native ABBABABAwindows / fourPopWindows: windowed four-taxon statistics.
+
+Mirrors /root/reference/ABBABABAwindows.py (wrapper :27-52, header :244-245)
+and fourPopWindows.py (wrapper :28-54, stats list :252).  Site selection and
+the f4 family run on device-computed per-site per-population base counts;
+the float64 ratio-of-sums finalize matches the reference exactly
+(stats/abbababa.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .. import windows as W
+from ..io import geno as geno_io
+from ..io import writers
+from ..kernels import counts as counts_k
+from ..samples import SampleData
+from ..stats import abbababa
+from . import common
+
+
+def build_parser(full_panel: bool) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fourPopWindows" if full_panel else "ABBABABAwindows")
+    common.add_window_args(p, overlap_short=False)
+    p.add_argument("--minData", type=float, action="store", required=False,
+                   default=0.01, metavar="proportion")
+    p.add_argument("-P1", "--pop1", required=True, action="store", nargs="+")
+    p.add_argument("-P2", "--pop2", required=True, action="store", nargs="+")
+    p.add_argument("-P3", "--pop3", required=True, action="store", nargs="+")
+    p.add_argument("-O", "--outgroup", required=True, action="store", nargs="+")
+    p.add_argument("--popsFile", action="store", required=False)
+    common.add_ploidy_args(p)
+    if full_panel:
+        p.add_argument("--polarize", action="store_true")
+        p.add_argument("--fixed", action="store_true")
+    p.add_argument("-g", "--genoFile", required=False)
+    p.add_argument("-o", "--outFile", required=False)
+    p.add_argument("--exclude", required=False)
+    p.add_argument("--include", required=False)
+    p.add_argument("-f", "--genoFormat", action="store",
+                   choices=("phased", "pairs", "haplo", "diplo"), required=True)
+    p.add_argument("--header", action="store")
+    p.add_argument("-T", "--Threads", type=int, default=1, required=False)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--addWindowID", action="store_true")
+    p.add_argument("--writeFailedWindows", action="store_true")
+    return p
+
+
+def main(argv=None, full_panel: bool = False) -> int:
+    args = build_parser(full_panel).parse_args(argv)
+    wind = common.resolve_window_args(args, wind_coord_cols=4)
+    min_sites = wind["minSites"]
+    min_data = args.minData
+    assert 0 <= min_data <= 1, "minimum data per site must be between 0 and 1."
+
+    pop_args = [args.pop1, args.pop2, args.pop3, args.outgroup]
+    sd = SampleData.from_pop_args(
+        population_args=pop_args, pops_file=args.popsFile,
+        ploidy_list=args.ploidy, ploidy_file=args.ploidyFile,
+        haploid=args.haploid.split(",") if args.haploid else None,
+        geno_format=args.genoFormat)
+    pop_names = sd.pop_names
+
+    reader = geno_io.GenoReader(args.genoFile if args.genoFile else sys.stdin,
+                                sample_data=sd, geno_format=args.genoFormat,
+                                header=args.header)
+    data = reader.read_all()
+    keep = W.filter_scaffolds(data.scaffold_ids, data.scaffold_names,
+                              include=common.read_scaffold_list(args.include),
+                              exclude=common.read_scaffold_list(args.exclude))
+    if not keep.all():
+        data.alleles = data.alleles[:, keep]
+        data.positions = data.positions[keep]
+        data.scaffold_ids = data.scaffold_ids[keep]
+
+    plan = common.build_plan(wind, data.scaffold_ids, data.positions,
+                             data.scaffold_names)
+    model = data.model
+    sites = plan.n_sites
+    mid = plan.mid(data.positions)
+
+    # device: counts for P1..P4 and their union in one dispatch
+    pop_rows = [model.pop_row_indices[p] for p in pop_names]
+    union_rows = np.unique(np.concatenate(pop_rows))
+    mask = np.zeros((5, model.n_rows), dtype=np.float32)
+    for k, rows in enumerate(pop_rows):
+        mask[k, rows] = 1.0
+    mask[4, union_rows] = 1.0
+    n_pops = [rows.size for rows in pop_rows]
+    counts = counts_k.site_pop_counts_chunked(data.alleles, mask)  # [S,5,4]
+    counts_pops = [counts[:, k, :] for k in range(4)]
+    counts_union = counts[:, 4, :]
+
+    if full_panel:
+        stats = ["ABBA", "BABA", "ABAA", "BAAA", 'D', 'fd', "fd'", 'fdm',
+                 "fdm'", 'fdh', 'fdh2', 'fh']
+        polarize = args.polarize
+        fixed = args.fixed
+    else:
+        stats = ["ABBA", "BABA", "D", "fd", "fdM"]
+        polarize, fixed = True, False
+
+    out = writers.open_out(args.outFile)
+    head = "scaffold,start,end,mid,sites,sitesUsed," + ",".join(stats)
+    if args.addWindowID:
+        head = "windowID," + head
+    out.write(head + "\n")
+
+    for w in range(plan.n_windows):
+        n_sites_w = int(sites[w])
+        sites_used: object = np.nan
+        if n_sites_w >= min_sites:
+            f, l = int(plan.first[w]), int(plan.last[w])
+            res = abbababa.window_four_pop_panel(
+                [c[f:l] for c in counts_pops], counts_union[f:l],
+                n_pops, min_data, polarize, fixed, full_panel)
+            sites_used = res["sitesUsed"]
+            if sites_used >= min_sites:
+                is_good = True
+                values = [writers.fmt_float(res[s], 4) for s in stats]
+            else:
+                is_good = False
+                values = ["nan"] * len(stats)
+        else:
+            is_good = False
+            values = ["nan"] * len(stats)
+        if not (is_good or args.writeFailedWindows):
+            continue
+        row = []
+        if args.addWindowID:
+            row.append(str(plan.ids[w]))
+        row += [data.scaffold_names[plan.scaffold_id[w]]
+                if plan.scaffold_id[w] >= 0 else "None",
+                str(int(plan.start[w])), str(int(plan.end[w])),
+                writers.fmt_int_or_nan(mid[w]), str(n_sites_w),
+                str(sites_used) if sites_used == sites_used else "nan"]
+        row += values
+        out.write(",".join(row) + "\n")
+    if args.outFile:
+        out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -12,12 +12,19 @@ from .. import windows as W
 from ..samples import SampleData
 
 
-def add_window_args(parser: argparse.ArgumentParser, choices=("sites", "coordinate", "predefined")):
+def add_window_args(parser: argparse.ArgumentParser,
+                    choices=("sites", "coordinate", "predefined"),
+                    overlap_short: bool = True):
+    """overlap_short: popgenWindows/distMat spell it "-O/--overlap"; the
+    ABBA-BABA scripts use bare "--overlap" because -O is the outgroup."""
     parser.add_argument("--windType", action="store", choices=choices, default="coordinate")
     parser.add_argument("-w", "--windSize", type=int, action="store", required=False)
     parser.add_argument("-s", "--stepSize", type=int, action="store", required=False)
     parser.add_argument("-m", "--minSites", type=int, action="store", required=False, default=1)
-    parser.add_argument("-O", "--overlap", type=int, action="store", required=False)
+    if overlap_short:
+        parser.add_argument("-O", "--overlap", type=int, action="store", required=False)
+    else:
+        parser.add_argument("--overlap", type=int, action="store", required=False)
     parser.add_argument("-D", "--maxDist", type=int, action="store", required=False)
     parser.add_argument("--windCoords", required=False)
 

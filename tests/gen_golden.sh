@@ -54,17 +54,23 @@ python "$REF/ABBABABAwindows.py" -g $D/sim1.geno.gz -f phased \
 
 echo "== ABBABABAwindows sites =="
 python "$REF/ABBABABAwindows.py" -g $D/sim1.geno.gz -f phased \
-  --windType sites -w 100 -m 100 \
+  --windType sites -w 100 -m 20 \
   -P1 pop1 -P2 pop2 -P3 pop3 -O pop4 --popsFile $D/sim1.pops.txt \
   -o $G/abba_sites.csv 2>/dev/null
 
 echo "== fourPopWindows =="
-python "$REF/fourPopWindows.py" -g $D/sim1.geno.gz -f phased \
+# the reference script uses np.NaN (removed in numpy 2); shim it back
+python - <<SHIM -g $D/sim1.geno.gz -f phased \
   -w 50000 -s 50000 -m 50 --minData 0.3 \
   -P1 pop1 -P2 pop2 -P3 pop3 -O pop4 --popsFile $D/sim1.pops.txt \
   --writeFailedWindows \
   -o $G/fourpop_coord.csv 2>/dev/null
-
+import numpy, sys, runpy
+numpy.NaN = numpy.nan
+sys.path.insert(0, "$REF")
+runpy.run_path("$REF/fourPopWindows.py", run_name="__main__")
+SHIM
+echo "== fourPopWindows done =="
 echo "== freq baseCounts =="
 python "$REF/freq.py" -g $D/sim1.geno.gz -f phased $POPS4 \
   -o $G/freq_counts.tsv 2>/dev/null
