@@ -1,0 +1,172 @@
+"""TPU-native distMat: per-window or whole-file pairwise distance matrices.
+
+Mirrors /root/reference/distMat.py (wrapper :28-60): per window, individual
+pair distances are haplotype-block nanmeans of the masked-Hamming distance
+matrix (indPairDists, genomics.py:934-954), in the input individual order;
+output raw / phylip / nexus (genomics.py:2288-2306).  ``--windType cat``
+streams the whole file through the accumulating pair-count kernel instead of
+materializing it (fixing the reference's RAM cliff, README.md:214).
+
+Reference quirk kept: with --windowDataOutFile, the header is comma-separated
+with a trailing comma and no newline, while data rows are tab-separated
+(distMat.py:238-239, 58).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .. import windows as W
+from ..io import geno as geno_io
+from ..io import writers
+from ..kernels import pairdist as pair_k
+from ..samples import SampleData
+from ..stats import popgen
+from . import common
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="distMat")
+    common.add_window_args(p, choices=("sites", "coordinate", "predefined", "cat"))
+    p.add_argument("-Mi", "--minPerInd", type=int, action="store", required=False)
+    p.add_argument("--samples", nargs="+", action="store")
+    p.add_argument("--includeSameWithSame", action="store_true")
+    common.add_ploidy_args(p)
+    p.add_argument("-g", "--genoFile", required=False)
+    p.add_argument("-o", "--outFile", required=False)
+    p.add_argument("--windowDataOutFile", required=False)
+    p.add_argument("-f", "--genoFormat", action="store",
+                   choices=("phased", "pairs", "haplo", "diplo"), required=True)
+    p.add_argument("--outFormat", action="store",
+                   choices=("raw", "phylip", "nexus"), default="phylip")
+    p.add_argument("--headers", nargs="+", action="store")
+    p.add_argument("--roundTo", type=int, action="store", default=4)
+    p.add_argument("--exclude", required=False)
+    p.add_argument("--include", required=False)
+    p.add_argument("-T", "--threads", type=int, default=1, required=False)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--addWindowID", action="store_true")
+    p.add_argument("--writeFailedWindows", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.windType == "cat":
+        wind = {"windType": "cat", "minSites": 1}
+    else:
+        wind = common.resolve_window_args(args)
+    min_sites = wind["minSites"]
+
+    # samples (distMat.py:199-206)
+    if args.samples:
+        samples = args.samples
+    elif args.headers:
+        samples = args.headers[2:]
+    else:
+        assert args.genoFile, \
+            "If piping from stdin, you need to specify either --samples or --headers"
+        with geno_io.open_maybe_gz(args.genoFile, "rb") as gf:
+            samples = [c.decode() for c in gf.readline().split()[2:]]
+
+    if args.ploidy is not None:
+        pl = args.ploidy if len(args.ploidy) != 1 else args.ploidy * len(samples)
+        assert len(pl) == len(samples)
+        ploidy = dict(zip(samples, pl))
+    elif args.ploidyFile is not None:
+        with open(args.ploidyFile, "rt") as pf:
+            ploidy = {s[0]: int(s[1]) for s in (l.split() for l in pf) if s}
+    else:
+        d = 1 if args.genoFormat == "haplo" else 2
+        ploidy = {s: d for s in samples}
+        for s in (args.haploid or []):
+            ploidy[s] = 1
+
+    sd = SampleData(ind_names=list(samples), ploidy=ploidy)
+    header = "\t".join(args.headers) if args.headers else None
+    reader = geno_io.GenoReader(args.genoFile if args.genoFile else sys.stdin,
+                                sample_data=sd, geno_format=args.genoFormat,
+                                header=header)
+    data = reader.read_all()
+    keep = W.filter_scaffolds(data.scaffold_ids, data.scaffold_names,
+                              include=common.read_scaffold_list(args.include),
+                              exclude=common.read_scaffold_list(args.exclude))
+    if not keep.all():
+        data.alleles = data.alleles[:, keep]
+        data.positions = data.positions[keep]
+        data.scaffold_ids = data.scaffold_ids[keep]
+
+    plan = common.build_plan(wind, data.scaffold_ids, data.positions,
+                             data.scaffold_names)
+    model = data.model
+    sites = plan.n_sites
+    mid = plan.mid(data.positions)
+    n_ind = len(samples)
+
+    import jax.numpy as jnp
+    alleles_dev = jnp.asarray(data.alleles)
+    if wind["windType"] == "cat":
+        m0, s0 = pair_k.long_span_pair_counts(alleles_dev, 0, data.n_sites)
+        mism, shar = m0[None], s0[None]
+    else:
+        mism, shar = pair_k.window_pair_counts(
+            alleles_dev, plan.first.astype(np.int32), sites.astype(np.int32))
+
+    outs = {}
+    outs["main"] = writers.open_out(args.outFile)
+    if args.windowDataOutFile:
+        outs["windows"] = writers.open_out(args.windowDataOutFile)
+        if not args.addWindowID:
+            outs["windows"].write("scaffold,start,end,mid,sites,")
+        else:
+            outs["windows"].write("windowID,scaffold,start,end,mid,sites,")
+
+    # per-individual non-missing counts (for --minPerInd; distMat.py:40)
+    seq_non_nan = (data.alleles >= 0)
+
+    for w in range(plan.n_windows):
+        is_good = bool(sites[w] >= min_sites)
+        dist_out = np.empty((n_ind, n_ind))
+        dist_out.fill(np.nan)
+        if is_good:
+            f, l = int(plan.first[w]), int(plan.last[w])
+            if args.minPerInd and int(seq_non_nan[:, f:l].sum(axis=1).min()) < args.minPerInd:
+                is_good = False
+            else:
+                ctx = popgen.DistStatsContext(mism[w:w + 1], shar[w:w + 1])
+                pd = popgen.ind_pair_dists(
+                    ctx, model.sample_names, model.sample_rows,
+                    include_same_with_same=args.includeSameWithSame)
+                for i in range(n_ind):
+                    for j in range(i, n_ind):
+                        v = pd[samples[i]][samples[j]][0]
+                        dist_out[i, j] = dist_out[j, i] = v
+        if not is_good:
+            dist_out = np.empty((n_ind, n_ind))
+            dist_out.fill(np.nan)
+        if is_good or args.writeFailedWindows:
+            if args.outFormat == "nexus":
+                s_ = writers.dist_mat_nexus_string(dist_out, samples, args.roundTo)
+            elif args.outFormat == "phylip":
+                s_ = writers.dist_mat_phylip_string(dist_out, samples, args.roundTo)
+            else:
+                s_ = writers.dist_mat_string(dist_out, args.roundTo) + "\n"
+            outs["main"].write(s_)
+            if "windows" in outs:
+                row = [] if not args.addWindowID else [plan.ids[w]]
+                row += [data.scaffold_names[plan.scaffold_id[w]]
+                        if plan.scaffold_id[w] >= 0 else "None",
+                        int(plan.start[w]), int(plan.end[w]),
+                        writers.fmt_int_or_nan(mid[w]), int(sites[w])]
+                outs["windows"].write("\t".join(str(x) for x in row) + "\n")
+    for o in outs.values():
+        if o is not sys.stdout:
+            o.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,261 @@
+"""TPU-native freq: per-site per-population base counts / allele frequencies.
+
+Mirrors /root/reference/freq.py (worker :32-113): default mode emits 4-base
+counts per population per site ("a,c,g,t"); ``--target derived`` emits the
+derived-allele frequency polarized on the LAST population (freq.py:64-66,
+derivedAllele genomics.py:636-661); ``--target minor`` uses the minor allele
+with the reference's random tie-break (genomics.py:663-668 — unseeded
+np.random, so ties are inherently nondeterministic).
+
+Reference forcing rules (freq.py:303-305): without a target, asCounts=True,
+keepNanLines=True, minData=0.  With a target, --minData is an absolute
+non-missing-haplotype COUNT per population (freq.py:83).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..io import geno as geno_io
+from ..io import writers
+from ..kernels import counts as counts_k
+from ..samples import SampleData
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="freq")
+    p.add_argument("-g", "--genoFile", action="store")
+    p.add_argument("-o", "--outFile", action="store")
+    p.add_argument("-f", "--genoFormat", action="store",
+                   choices=("phased", "diplo", "alleles"), default="phased")
+    p.add_argument("-p", "--population", required=False, action="append",
+                   nargs="+", metavar=("popName", "[samples]"))
+    p.add_argument("--popsFile", action="store", required=False)
+    p.add_argument("--indFreqs", action="store_true")
+    p.add_argument("--target", choices=("minor", "derived"), action="store",
+                   default=None)
+    p.add_argument("--asCounts", action="store_true")
+    p.add_argument("--ploidy", action="store", type=int, nargs="+")
+    p.add_argument("--ploidyFile", action="store")
+    p.add_argument("--haploid", action="store", nargs="+")
+    p.add_argument("--minData", type=float, action="store", default=0)
+    p.add_argument("--threshold", type=float, action="store")
+    p.add_argument("--keepNanLines", action="store_true")
+    p.add_argument("-t", "--threads", type=int, action="store", default=1)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--test", action="store_true")
+    return p
+
+
+def derived_allele_codes(in_counts: np.ndarray, out_counts: np.ndarray) -> np.ndarray:
+    """Vectorized reference derivedAllele (genomics.py:636-661) with
+    maxOneDerivedAllele=True, numeric=True: requires exactly 1 outgroup
+    allele, exactly 2 ingroup alleles, outgroup allele among them; returns
+    the other ingroup allele code, else NaN."""
+    in_present = in_counts > 0
+    out_present = out_counts > 0
+    n_in = in_present.sum(axis=1)
+    n_out = out_present.sum(axis=1)
+    anc = np.argmax(out_present, axis=1)
+    rows = np.arange(in_counts.shape[0])
+    ok = (n_out == 1) & (n_in == 2) & in_present[rows, anc]
+    # the "other" ingroup allele: mask out anc, take argmax of remaining
+    masked = in_present.copy()
+    masked[rows, anc] = False
+    der = np.argmax(masked, axis=1)
+    out = np.where(ok, der.astype(np.float64), np.nan)
+    return out
+
+
+def minor_allele_codes(counts: np.ndarray) -> np.ndarray:
+    """Reference minorAllele (genomics.py:663-668): for biallelic sites,
+    the less-common allele; frequency ties broken by np.random.choice."""
+    present = counts > 0
+    n_all = present.sum(axis=1)
+    out = np.full(counts.shape[0], np.nan)
+    for s in np.flatnonzero(n_all == 2):
+        alleles = np.flatnonzero(present[s])
+        cnts = counts[s, alleles]
+        mins = alleles[cnts == cnts.min()]
+        out[s] = np.random.choice(mins)
+    return out
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # header individuals
+    fobj = geno_io.open_maybe_gz(args.genoFile, "rb") if args.genoFile else sys.stdin.buffer
+    reader_probe_header = None
+
+    # ---- populations (freq.py:243-274)
+    header_inds = None
+
+    def get_header_inds():
+        nonlocal header_inds
+        if header_inds is None:
+            raise RuntimeError
+        return header_inds
+
+    # We must know header inds before building SampleData when pops unspecified
+    # -> peek the header by constructing the reader lazily below.
+    pop_names: list[str] = []
+    pop_inds: dict[str, list[str]] = {}
+
+    # build reader with no sample subset first to learn the header
+    tmp_reader = geno_io.GenoReader(fobj, sample_data=None,
+                                    geno_format=args.genoFormat)
+    header_inds = tmp_reader.file_ind_names
+
+    if not args.indFreqs and not args.population:
+        if args.target == "derived":
+            print("\nNo populations specified. Assuming the final individual "
+                  "is the outgroup for polarising.", file=sys.stderr)
+            pop_names = ["ingroup", "outgroup"]
+            pop_inds = {"ingroup": header_inds[:-1],
+                        "outgroup": [header_inds[-1]]}
+        else:
+            pop_names = ["all"]
+            pop_inds = {"all": list(header_inds)}
+    elif args.indFreqs:
+        pop_names = list(header_inds)
+        pop_inds = {ind: [ind] for ind in header_inds}
+    else:
+        for p in args.population:
+            pop_names.append(p[0])
+            pop_inds[p[0]] = p[1].split(",") if len(p) > 1 else []
+        if args.popsFile:
+            with open(args.popsFile, "rt") as pf:
+                for ln in pf:
+                    parts = ln.split()
+                    if len(parts) >= 2 and parts[1] in pop_inds \
+                            and parts[0] not in pop_inds[parts[1]]:
+                        pop_inds[parts[1]].append(parts[0])
+        for n in pop_names:
+            assert len(pop_inds[n]) >= 1, \
+                "All populations must be represented by at least one sample."
+
+    all_inds = []
+    seen = set()
+    for n in pop_names:
+        for i in pop_inds[n]:
+            if i not in seen:
+                seen.add(i)
+                all_inds.append(i)
+
+    if args.ploidy is not None:
+        pl = args.ploidy if len(args.ploidy) != 1 else args.ploidy * len(all_inds)
+        assert len(pl) == len(all_inds), "Incorrect number of ploidy values supplied."
+        ploidy = dict(zip(all_inds, pl))
+    elif args.ploidyFile is not None:
+        with open(args.ploidyFile, "rt") as pf:
+            ploidy = {s[0]: int(s[1]) for s in (l.split() for l in pf) if s}
+    else:
+        ploidy = {i: 2 for i in all_inds}
+    for ind in (args.haploid or []):
+        ploidy[ind] = 1
+
+    sd = SampleData(ind_names=all_inds, pop_names=pop_names,
+                    pop_inds=pop_inds, ploidy=ploidy)
+    # rebuild reader bound to the chosen samples (reuse the already-open file)
+    reader = geno_io.GenoReader(tmp_reader.f, sample_data=sd,
+                                geno_format=args.genoFormat,
+                                header="\t".join(["#CHROM", "POS"] + header_inds))
+    reader._tail = tmp_reader._tail
+    reader._eof = tmp_reader._eof
+    data = reader.read_all()
+    model = data.model
+
+    as_counts = args.asCounts if args.target else True
+    keep_nan_lines = args.keepNanLines if args.target else True
+    min_data = args.minData if args.target else 0
+
+    out = writers.open_out(args.outFile)
+    out.write("scaffold\tposition\t")
+    out.write("\t".join(pop_names) + "\n")
+
+    # ---- device counts: one mask per pop (+ingroup union for derived)
+    P = len(pop_names)
+    n_masks = P + (1 if args.target == "derived" else 0)
+    mask = np.zeros((n_masks, model.n_rows), dtype=np.float32)
+    for k, n in enumerate(pop_names):
+        mask[k, model.pop_row_indices[n]] = 1.0
+    if args.target == "derived":
+        in_rows = np.unique(np.concatenate(
+            [model.pop_row_indices[n] for n in pop_names[:-1]]))
+        mask[P, in_rows] = 1.0
+    counts = counts_k.site_pop_counts_chunked(data.alleles, mask)  # [S,n_masks,4]
+    S = counts.shape[0]
+
+    scaf_names = np.array(data.scaffold_names, dtype=object)
+
+    if not args.target:
+        # counts mode: "a,c,g,t" per pop (freq.py:52-60)
+        cols = []
+        for k in range(P):
+            c = counts[:, k, :]
+            cols.append(np.array([",".join(r) for r in c.astype(str)], dtype=object))
+        all_any = None  # all lines kept
+        for s in range(S):
+            out.write(scaf_names[data.scaffold_ids[s]] + "\t"
+                      + str(int(data.positions[s])) + "\t"
+                      + "\t".join(col[s] for col in cols) + "\n")
+    else:
+        if args.target == "derived":
+            base_col = derived_allele_codes(counts[:, P, :],
+                                            counts[:, P - 1, :])
+        else:
+            # minor allele over the whole alignment (all requested inds)
+            total = counts[:, :P, :].sum(axis=1)
+            if not args.indFreqs and len(pop_names) >= 2:
+                # reference uses aln = ALL rows; sum of pop counts counts
+                # shared individuals twice — recompute over all rows
+                full_mask = np.ones((1, model.n_rows), dtype=np.float32)
+                total = counts_k.site_pop_counts_chunked(data.alleles, full_mask)[:, 0, :]
+            base_col = minor_allele_codes(total)
+        good_sites_mask = ~np.isnan(base_col)
+
+        pop_vals = np.zeros((S, P)) if as_counts else np.full((S, P), np.nan)
+        if as_counts:
+            pop_vals = pop_vals.astype(int)
+        for k in range(P):
+            c = counts[:, k, :]
+            nm = c.sum(axis=1)
+            good = good_sites_mask & (nm >= min_data)
+            idx = np.flatnonzero(good)
+            if idx.size:
+                tgt = base_col[idx].astype(int)
+                if as_counts:
+                    pop_vals[idx, k] = c[idx, tgt]
+                else:
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        freqs = c[idx].astype(np.float64) / nm[idx, None]
+                        freqs[nm[idx] == 0] = np.nan
+                    pop_vals[idx, k] = np.around(freqs[np.arange(idx.size), tgt], 4)
+        if args.threshold and not as_counts:
+            pop_vals[pop_vals >= args.threshold] = 1
+            pop_vals[pop_vals < args.threshold] = 0
+
+        if not keep_nan_lines:
+            if not as_counts:
+                rows_out = np.flatnonzero(~np.all(np.isnan(pop_vals), axis=1))
+            else:
+                rows_out = np.flatnonzero(~np.all(pop_vals == 0, axis=1))
+        else:
+            rows_out = np.arange(S)
+        vals_str = pop_vals.astype(str)
+        for s in rows_out:
+            out.write(scaf_names[data.scaffold_ids[s]] + "\t"
+                      + str(int(data.positions[s])) + "\t"
+                      + "\t".join(vals_str[s]) + "\n")
+
+    if args.outFile:
+        out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

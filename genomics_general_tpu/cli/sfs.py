@@ -1,0 +1,432 @@
+"""TPU-native sfs: 1D/2D/3D/4D site-frequency spectra.
+
+Mirrors /root/reference/sfs.py: genotypes / baseCounts / targetCounts inputs,
+folded (minor-allele) or polarized (outgroup = last population) spectra,
+haplotype/individual downsampling with the reference's seeded RNG stream,
+per-region spectra via Intervals, sparse output in nested first-insertion
+order (see stats/sfs.py for the replicated semantics).
+
+Vectorization: the per-site per-pop base counts come from the device counting
+kernel; completeness gates and target selection are vectorized on host; only
+qualifying SNPs enter the (insertion-ordered) accumulation loop.  With
+--subsample the whole site loop runs on host to consume np.random in the
+reference's exact order.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import sys
+
+import numpy as np
+
+from ..io import geno as geno_io
+from ..kernels import counts as counts_k
+from ..regions import Intervals
+from ..samples import SampleData
+from ..stats.sfs import SparseFS, down_sample_base_counts, get_target_counts
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sfs")
+    p.add_argument("-i", "--inputFile", action="store")
+    p.add_argument("--inputType", action="store",
+                   choices=("genotypes", "baseCounts", "targetCounts"),
+                   default="targetCounts")
+    p.add_argument("--scafCol", action="store", type=int, default=0)
+    p.add_argument("--posCol", action="store", type=int, default=1)
+    p.add_argument("--firstSampleCol", action="store", type=int, default=2)
+    p.add_argument("--header", action="store")
+    p.add_argument("--genoFormat", action="store",
+                   choices=("phased", "diplo", "alleles"), default="phased")
+    p.add_argument("-p", "--pop", action="append", nargs="+")
+    p.add_argument("--popsFile", action="store", required=False)
+    p.add_argument("--ploidy", action="store", type=int, nargs="+")
+    p.add_argument("--ploidyFile", action="store")
+    p.add_argument("--FSpops", action="append", type=str, nargs="+")
+    p.add_argument("--doPairs", action="store_true")
+    p.add_argument("--doTrios", action="store_true")
+    p.add_argument("--doQuartets", action="store_true")
+    p.add_argument("--subsample", action="store", required=False, nargs="+", type=int)
+    p.add_argument("--subsampleIndividuals", action="store_true")
+    p.add_argument("--pref", action="store", required=False, default="")
+    p.add_argument("--suff", action="store", required=False, default=".sfs")
+    p.add_argument("--pipe", action="store_true")
+    p.add_argument("--polarized", action="store_true")
+    p.add_argument("--outgroup", action="store", required=False)
+    p.add_argument("--regions", nargs="+", action="store")
+    p.add_argument("--regionsFile", action="store")
+    p.add_argument("--include", nargs="+", action="store")
+    p.add_argument("--includeFile", action="store")
+    p.add_argument("--exclude", nargs="+", action="store")
+    p.add_argument("--excludeFile", action="store")
+    p.add_argument("-R", "--report", action="store", required=False, default=100000)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--seed", action="store", type=int, default=42)
+    return p
+
+
+def _read_table_counts(path_or_stdin, header, first_sample_col, parse):
+    """Parse a baseCounts/targetCounts table: returns (scafs, positions,
+    list-of-column-name, per-column list of parsed values)."""
+    f = geno_io.open_maybe_gz(path_or_stdin, "rb") if isinstance(path_or_stdin, str) \
+        else path_or_stdin
+    if header is not None:
+        names = header.split()[first_sample_col:]
+    else:
+        names = f.readline().split()[first_sample_col:]
+        names = [n.decode() if isinstance(n, bytes) else n for n in names]
+    scafs, positions, rows = [], [], []
+    for line in f:
+        if not line.strip() or line.startswith(b"#" if isinstance(line, bytes) else "#"):
+            continue
+        parts = line.split()
+        scafs.append(parts[0].decode() if isinstance(parts[0], bytes) else parts[0])
+        positions.append(int(parts[1]))
+        rows.append([parse(x) for x in parts[first_sample_col:]])
+    return names, scafs, positions, rows
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    include = list(args.include) if args.include else []
+    exclude = list(args.exclude) if args.exclude else []
+    if args.includeFile:
+        include += open(args.includeFile, "rt").read().split()
+    if args.excludeFile:
+        exclude += open(args.excludeFile, "rt").read().split()
+    include = set(include) if include else None
+    exclude = set(exclude) if exclude else None
+
+    np.random.seed(args.seed)
+    return _run(args, include, exclude, 1)
+
+
+def _run(args, include, exclude, n_intervals):
+    intervals = None
+    if getattr(args, "regions", None):
+        intervals = Intervals(regions=args.regions)
+    elif getattr(args, "regionsFile", None):
+        with open(args.regionsFile, "rt") as fh:
+            intervals = Intervals(tuples=[line.split() for line in fh if line.split()])
+    if intervals is not None:
+        n_intervals = intervals.l
+
+    input_type = args.inputType
+
+    # ---------------- population bookkeeping (sfs.py:281-362)
+    pop_names: list[str] = []
+    if args.pop:
+        for pop in args.pop:
+            pop_names.append(pop[0])
+    if args.FSpops:
+        for pop in (p for pops in args.FSpops for p in pops):
+            if pop not in pop_names:
+                pop_names.append(pop)
+
+    if input_type == "genotypes":
+        pop_dict = {}
+        if args.pop or args.FSpops:
+            for pop in (args.pop or []):
+                pop_dict[pop[0]] = [] if len(pop) == 1 else pop[1].split(",")
+            for pop in pop_names:
+                pop_dict.setdefault(pop, [])
+            if args.popsFile:
+                with open(args.popsFile, "r") as pf:
+                    for line in pf:
+                        parts = line.split()
+                        if len(parts) >= 2 and parts[1] in pop_dict \
+                                and parts[0] not in pop_dict[parts[1]]:
+                            pop_dict[parts[1]].append(parts[0])
+        else:
+            pop_names = ["all"]
+            pop_dict = None  # resolved after header read
+        sample_names_known = pop_dict is not None
+        if sample_names_known:
+            for pop in pop_names:
+                assert len(pop_dict[pop]) >= 1, f"Population {pop} has no samples"
+            all_samples = [s for p in pop_dict for s in pop_dict[p]]
+        else:
+            all_samples = None
+    else:
+        if not pop_names:
+            pop_names = None  # take from header
+
+    # ---------------- read input
+    if input_type == "genotypes":
+        assert args.scafCol == 0 and args.posCol == 1 and args.firstSampleCol == 2, \
+            "non-default column layouts are not supported yet"
+        fobj = geno_io.open_maybe_gz(args.inputFile, "rb") if args.inputFile \
+            else sys.stdin.buffer
+        probe = geno_io.GenoReader(fobj, sample_data=None,
+                                   geno_format=args.genoFormat, header=args.header)
+        header_inds = probe.file_ind_names
+        if not sample_names_known:
+            pop_dict = {"all": list(header_inds)}
+            all_samples = list(header_inds)
+
+        if args.ploidy is not None:
+            pl = args.ploidy if len(args.ploidy) != 1 else args.ploidy * len(all_samples)
+            assert len(pl) == len(all_samples)
+            ploidy_dict = dict(zip(all_samples, pl))
+        elif args.ploidyFile is not None:
+            with open(args.ploidyFile, "r") as pf:
+                ploidy_dict = {s[0]: int(s[1]) for s in (l.split() for l in pf) if s}
+        else:
+            ploidy_dict = {s: 2 for s in all_samples}
+
+        n_hap = {p: sum(ploidy_dict[s] for s in pop_dict[p]) for p in pop_names}
+
+        sd = SampleData(ind_names=list(all_samples), pop_names=list(pop_names),
+                        pop_inds=pop_dict, ploidy=ploidy_dict)
+        reader = geno_io.GenoReader(
+            probe.f, sample_data=sd, geno_format=args.genoFormat,
+            header="\t".join(["#CHROM", "POS"] + list(header_inds)))
+        reader._tail = probe._tail
+        reader._eof = probe._eof
+        data = reader.read_all()
+        model = data.model
+        S = data.n_sites
+        scaf_of_site = np.array(data.scaffold_names, dtype=object)[data.scaffold_ids] \
+            if S else np.array([], dtype=object)
+        positions = data.positions
+    else:
+        parse = float if input_type == "baseCounts" else int
+        names, scafs, positions_l, rows = _read_table_counts(
+            args.inputFile if args.inputFile else sys.stdin.buffer,
+            args.header, args.firstSampleCol,
+            (lambda x: np.array(str(x if not isinstance(x, bytes) else x.decode()).split(","), dtype=float).astype(int))
+            if input_type == "baseCounts" else (lambda x: int(x)))
+        if pop_names is None:
+            pop_names = names
+        col_of = {n: i for i, n in enumerate(names)}
+        scaf_of_site = np.array(scafs, dtype=object)
+        positions = np.array(positions_l, dtype=int)
+        S = len(rows)
+
+    # outgroup (sfs.py:369-377)
+    if input_type in ("genotypes", "baseCounts") and (args.polarized or args.outgroup):
+        outgroup = args.outgroup if args.outgroup else pop_names[-1]
+        in_pop_names = [p for p in pop_names if p != outgroup]
+    else:
+        in_pop_names = list(pop_names)
+        outgroup = None
+
+    # subsampling setup (sfs.py:380-403)
+    subsample = args.subsample
+    if subsample is not None:
+        if len(subsample) == 1:
+            subsample = subsample * len(in_pop_names)
+        assert len(subsample) == len(in_pop_names)
+        subsample_dict = dict(zip(in_pop_names, subsample))
+        if input_type == "genotypes":
+            if not args.subsampleIndividuals:
+                for p in in_pop_names:
+                    assert n_hap[p] >= subsample_dict[p]
+                n_hap = dict(n_hap, **subsample_dict)
+            else:
+                gp = {ploidy_dict[i] for p in in_pop_names for i in pop_dict[p]}
+                assert len(gp) == 1, "Subsampling by individuals not possible with variable ploidy"
+                g = gp.pop()
+                nh = {p: s * g for p, s in subsample_dict.items()}
+                for p in in_pop_names:
+                    assert n_hap[p] >= nh[p]
+                n_hap = dict(n_hap, **nh)
+    else:
+        subsample_dict = None
+
+    # FS groups (sfs.py:410-419)
+    if args.FSpops:
+        fs_pops = args.FSpops
+    else:
+        fs_pops = [[p] for p in in_pop_names]
+        if args.doPairs:
+            fs_pops += [list(c) for c in itertools.combinations(in_pop_names, 2)]
+        if args.doTrios:
+            fs_pops += [list(c) for c in itertools.combinations(in_pop_names, 3)]
+        if args.doQuartets:
+            fs_pops += [list(c) for c in itertools.combinations(in_pop_names, 4)]
+    fss = [SparseFS(len(g), n_intervals) for g in fs_pops]
+
+    # ---------------- site filtering + counts
+    if S:
+        keep = np.ones(S, dtype=bool)
+        if include is not None:
+            keep &= np.array([s in include for s in scaf_of_site])
+        if exclude is not None:
+            keep &= np.array([s not in exclude for s in scaf_of_site])
+    else:
+        keep = np.zeros(0, dtype=bool)
+
+    in_idx = [pop_names.index(p) for p in in_pop_names]
+
+    if input_type == "genotypes":
+        P = len(pop_names)
+        mask = np.zeros((P, model.n_rows), dtype=np.float32)
+        for k, p in enumerate(pop_names):
+            mask[k, model.pop_row_indices[p]] = 1.0
+        counts = counts_k.site_pop_counts_chunked(data.alleles, mask)  # [S,P,4]
+        n_hap_arr = np.array([n_hap[p] for p in in_pop_names])
+
+        if subsample_dict is None:
+            in_counts = counts[:, in_idx, :].astype(np.int64)
+            complete = (in_counts.sum(axis=2) == n_hap_arr[None, :]).all(axis=1)
+            cand = np.flatnonzero(keep & complete)
+            out_counts_all = counts[:, pop_names.index(outgroup), :] \
+                if outgroup else None
+            _accumulate(cand, in_counts, out_counts_all, scaf_of_site,
+                        positions, intervals, fs_pops, in_pop_names, fss)
+        else:
+            # host loop preserving the reference RNG stream order
+            out_k = pop_names.index(outgroup) if outgroup else None
+            for s in np.flatnonzero(keep):
+                add_value = 1
+                if intervals is not None:
+                    add_value = intervals.contains_point(
+                        pos=positions[s], chrom=scaf_of_site[s])
+                    if add_value.sum() == 0:
+                        continue
+                if not args.subsampleIndividuals:
+                    try:
+                        arr = np.array([
+                            down_sample_base_counts(
+                                counts[s, pop_names.index(p), :],
+                                subsample_dict[p])
+                            for p in in_pop_names])
+                    except ValueError:
+                        continue
+                else:
+                    arr = _subsample_individuals(
+                        data, model, pop_dict, in_pop_names, subsample_dict, s)
+                    if arr is None:
+                        continue
+                if not np.all(arr.sum(axis=1) == n_hap_arr):
+                    continue
+                out_c = counts[s, out_k, :] if outgroup else None
+                tc = get_target_counts(arr, out_c)
+                if tc is None:
+                    continue
+                d = dict(zip(in_pop_names, tc))
+                for i, g in enumerate(fs_pops):
+                    fss[i].add([d[p] for p in g], add_value)
+    else:
+        # table inputs
+        if input_type == "baseCounts":
+            arrs = np.array([[rows[s][col_of[p]] for p in in_pop_names]
+                             for s in range(S)], dtype=np.int64) \
+                if S else np.zeros((0, len(in_pop_names), 4), np.int64)
+            out_col = col_of[outgroup] if outgroup else None
+            for s in np.flatnonzero(keep):
+                add_value = 1
+                if intervals is not None:
+                    add_value = intervals.contains_point(
+                        pos=positions[s], chrom=scaf_of_site[s])
+                    if add_value.sum() == 0:
+                        continue
+                arr = arrs[s]
+                if subsample_dict:
+                    try:
+                        arr = np.array([down_sample_base_counts(
+                            arr[i, :], subsample_dict[in_pop_names[i]])
+                            for i in range(len(in_pop_names))])
+                    except ValueError:
+                        continue
+                out_c = np.asarray(rows[s][out_col]) if outgroup else None
+                tc = get_target_counts(arr, out_c)
+                if tc is None:
+                    continue
+                d = dict(zip(in_pop_names, tc))
+                for i, g in enumerate(fs_pops):
+                    fss[i].add([d[p] for p in g], add_value)
+        else:
+            for s in np.flatnonzero(keep):
+                add_value = 1
+                if intervals is not None:
+                    add_value = intervals.contains_point(
+                        pos=positions[s], chrom=scaf_of_site[s])
+                    if add_value.sum() == 0:
+                        continue
+                d = {p: rows[s][col_of[p]] for p in in_pop_names}
+                for i, g in enumerate(fs_pops):
+                    fss[i].add([d[p] for p in g], add_value)
+
+    # ---------------- output (sfs.py:499-505)
+    if args.pipe:
+        for fs in fss:
+            sys.stdout.write(fs.as_text())
+    else:
+        for i, fs in enumerate(fss):
+            with open(args.pref + "_".join(fs_pops[i]) + args.suff, "w") as out:
+                out.write(fs.as_text())
+    return 0
+
+
+def _accumulate(cand, in_counts, out_counts_all, scaf_of_site, positions,
+                intervals, fs_pops, in_pop_names, fss):
+    """Vectorized target selection + insertion-ordered accumulation for the
+    non-subsampled genotypes path."""
+    if cand.size == 0:
+        return
+    sub = in_counts[cand]                       # [C, Pin, 4]
+    total = sub.sum(axis=1)                     # [C, 4]
+    alleles = total > 0
+    if out_counts_all is not None:
+        out_sub = out_counts_all[cand].astype(np.int64)
+        out_alleles = out_sub > 0
+        all_alleles = alleles | out_alleles
+        n_all = all_alleles.sum(axis=1)
+        n_out = out_alleles.sum(axis=1)
+        ok = (n_all >= 1) & (n_all <= 2) & (n_out == 1)
+        cand_mask = ~out_alleles & alleles
+        has_cand = cand_mask.any(axis=1)
+        target = np.where(has_cand, np.argmax(cand_mask, axis=1),
+                          np.argmax(~alleles, axis=1))
+    else:
+        n_all = alleles.sum(axis=1)
+        ok = (n_all >= 1) & (n_all <= 2)
+        target = np.argsort(total, axis=1)[:, -2]
+    rows = np.arange(cand.size)
+    tgt_counts = sub[rows[:, None], np.arange(sub.shape[1])[None, :], target[:, None]]
+    for j in np.flatnonzero(ok):
+        s = cand[j]
+        add_value = 1
+        if intervals is not None:
+            add_value = intervals.contains_point(pos=positions[s],
+                                                 chrom=scaf_of_site[s])
+            if add_value.sum() == 0:
+                continue
+        d = dict(zip(in_pop_names, tgt_counts[j]))
+        for i, g in enumerate(fs_pops):
+            fss[i].add([d[p] for p in g], add_value)
+
+
+def _subsample_individuals(data, model, pop_dict, in_pop_names, subsample_dict, s):
+    """Per-individual subsampling (sfs.py:44-49), preserving RNG semantics
+    (random.sample over good individual indices)."""
+    import random
+    out = []
+    for p in in_pop_names:
+        ind_counts = []
+        for ind in pop_dict[p]:
+            rows = model.pop_row_indices  # not per-ind; compute directly
+        # per-individual base counts at site s
+        arr = []
+        for ind in pop_dict[p]:
+            ridx = [i for i, sn in enumerate(model.row_sample) if sn == ind]
+            vals = data.alleles[ridx, s]
+            vals = vals[vals >= 0]
+            arr.append(np.bincount(vals, minlength=4))
+        arr = np.array(arr)
+        good = np.where(arr.sum(axis=1) != 0)[0]
+        try:
+            chosen = random.sample(list(good), subsample_dict[p])
+        except ValueError:
+            return None
+        out.append(arr[chosen, :].sum(axis=0))
+    return np.array(out)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,6 +74,24 @@ def gather_window_batch(alleles: jnp.ndarray, first: jnp.ndarray,
     return wa.transpose(1, 0, 2), valid
 
 
+def long_span_pair_counts(alleles_dev: jnp.ndarray, first: int, last: int,
+                          block: int = 1 << 18):
+    """Pairwise counts over one very long span (e.g. distMat --windType cat):
+    stream site blocks through the batched kernel and accumulate on host.
+    Avoids the reference's materialize-the-genome RAM cliff (README.md:214)."""
+    H = alleles_dev.shape[0]
+    mism = np.zeros((H, H), dtype=np.int64)
+    shar = np.zeros((H, H), dtype=np.int64)
+    for b0 in range(first, last, block):
+        b1 = min(b0 + block, last)
+        wa = alleles_dev[:, b0:b1][None]
+        valid = jnp.ones((1, b1 - b0), dtype=bool)
+        m, s = pairwise_counts(wa, valid)
+        mism += np.asarray(m[0], dtype=np.int64)
+        shar += np.asarray(s[0], dtype=np.int64)
+    return mism, shar
+
+
 def window_pair_counts(alleles_dev: jnp.ndarray, first: np.ndarray,
                        n_sites: np.ndarray, batch_size: int = 64,
                        bucket_rounding: int = 512):
