@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark: popgenWindows pi/dxy/Fst sweep, engine vs reference.
+
+Prints ONE JSON line:
+  {"metric": "popgen_sites_per_s_per_chip", "value": N, "unit": "sites/s",
+   "vs_baseline": ratio_vs_reference_single_thread}
+
+Method
+------
+* data: deterministic synthetic phased .geno.gz (20 diploid individuals,
+  4 pops, BENCH_SITES sites across 4 scaffolds), cached in .bench_cache/.
+* engine: end-to-end pipeline (gz text parse -> window plan -> device pair
+  counts -> f64 finalize -> CSV) via the library CLI entry, run once to warm
+  jit caches, then timed.
+* baseline: the reference popgenWindows.py -T 1 on a subset of the same data
+  (sites/s extrapolates; the reference is O(sites) in this regime).
+
+Config matches BASELINE.json config #1: pi/dxy/Fst, 2 pops, 50 kb coordinate
+windows, phased geno.gz.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+CACHE = REPO / ".bench_cache"
+BENCH_SITES = int(os.environ.get("BENCH_SITES", 2_000_000))
+REF_SITES = int(os.environ.get("BENCH_REF_SITES", 40_000))
+REF_PATH = os.environ.get("BENCH_REF", "/root/reference")
+
+sys.path.insert(0, str(REPO))
+
+
+def ensure_data():
+    CACHE.mkdir(exist_ok=True)
+    geno = CACHE / f"bench_{BENCH_SITES}.geno.gz"
+    pops = CACHE / "bench.pops.txt"
+    sub = CACHE / f"bench_ref_{REF_SITES}.geno.gz"
+    if not geno.exists():
+        from genomics_general_tpu.testing import write_geno, write_pops_file
+        inds = write_geno(str(geno), n_sites=BENCH_SITES,
+                          scaffold_len=max(10_000_000, BENCH_SITES * 12),
+                          n_scaffolds=4)
+        write_pops_file(str(pops), inds)
+    if not sub.exists():
+        import gzip
+        with gzip.open(geno, "rb") as f:
+            lines = []
+            for i, ln in enumerate(f):
+                lines.append(ln)
+                if i >= REF_SITES:
+                    break
+        with gzip.open(sub, "wb", compresslevel=4) as f:
+            f.writelines(lines)
+    return geno, pops, sub
+
+
+ARGS = lambda g, p, o: [  # noqa: E731
+    "-g", str(g), "-f", "phased", "-w", "50000", "-m", "100",
+    "-p", "pop1", "-p", "pop2", "--popsFile", str(p),
+    "--analysis", "popDist", "popPairDist", "-o", str(o)]
+
+
+def run_engine(geno, pops, out):
+    from genomics_general_tpu.cli.popgen_windows import main
+    t0 = time.perf_counter()
+    main(ARGS(geno, pops, out))
+    return time.perf_counter() - t0
+
+
+def run_reference(sub, pops, out):
+    env = dict(os.environ, PYTHONHASHSEED="0")
+    t0 = time.perf_counter()
+    r = subprocess.run([sys.executable, f"{REF_PATH}/popgenWindows.py",
+                        *ARGS(sub, pops, out), "-T", "1"],
+                       capture_output=True, env=env)
+    dt = time.perf_counter() - t0
+    if r.returncode != 0:
+        return None
+    return dt
+
+
+def main():
+    geno, pops, sub = ensure_data()
+
+    # warm-up (compile) then timed run
+    run_engine(geno, pops, "/tmp/bench_engine_warm.csv")
+    dt = run_engine(geno, pops, "/tmp/bench_engine.csv")
+    engine_sps = BENCH_SITES / dt
+
+    ref_sps = None
+    if Path(REF_PATH).exists():
+        ref_dt = run_reference(sub, pops, "/tmp/bench_ref.csv")
+        if ref_dt:
+            ref_sps = REF_SITES / ref_dt
+
+    vs = (engine_sps / ref_sps) if ref_sps else None
+    print(json.dumps({
+        "metric": "popgen_sites_per_s_per_chip",
+        "value": round(engine_sps, 1),
+        "unit": "sites/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+    sys.stderr.write(
+        f"engine: {engine_sps:,.0f} sites/s ({BENCH_SITES} sites in {dt:.2f}s); "
+        f"reference 1-thread: {ref_sps:,.0f} sites/s\n" if ref_sps else
+        f"engine: {engine_sps:,.0f} sites/s; reference unavailable\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,223 @@
+// Native .geno chunk tokenizer.
+//
+// Replaces the numpy vectorized parser for the hot path: one pass over a
+// decompressed text chunk, emitting
+//   * positions  int64[n]
+//   * scaffold run-length breaks (line index + offset/length of the name)
+//   * allele codes int8 into a caller-provided [H, capacity] row-major matrix
+//     (selected individuals only, haplotype rows in caller-specified order).
+//
+// Grammar per line (fast path; any violation -> return the byte offset of the
+// offending line so Python can re-parse the remainder with its fallback):
+//   scaffold '\t' digits '\t' GT ('\t' GT)* '\n'
+// with fixed per-column GT field widths established by the caller.
+//
+// Genotype decoding matches genomics_general semantics
+// (reference genomics.py:317-378): characters at even positions for 'phased',
+// consecutive for 'pairs'/'alleles'/'haplo', IUPAC expansion for 'diplo';
+// any non-ACGTN character poisons the whole genotype to missing.
+//
+// Build: g++ -O3 -shared -fPIC -o libgenoparser.so geno_parser.cpp
+
+#include <cstdint>
+#include <cstring>
+
+#ifdef HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
+
+namespace {
+
+constexpr int8_t MISSING = -1;
+constexpr int8_t POISON = -2;
+
+struct Luts {
+  int8_t base[256];
+  int8_t diplo1[256];
+  int8_t diplo2[256];
+  int8_t diploHomo[256];
+  Luts() {
+    for (int i = 0; i < 256; ++i)
+      base[i] = diplo1[i] = diplo2[i] = diploHomo[i] = POISON;
+    base['A'] = 0; base['C'] = 1; base['G'] = 2; base['T'] = 3;
+    base['N'] = MISSING;
+    const char* diplo = "ACGKMNSRTWY";
+    const char* pair1 = "ACGGANCATAC";
+    const char* pair2 = "ACGTCNGGTTT";
+    const char* homo  = "ACGNNNNNTNN";
+    for (int i = 0; i < 11; ++i) {
+      unsigned char d = diplo[i];
+      diplo1[d] = base[(unsigned char)pair1[i]];
+      diplo2[d] = base[(unsigned char)pair2[i]];
+      diploHomo[d] = base[(unsigned char)homo[i]];
+    }
+  }
+};
+const Luts LUT;
+
+}  // namespace
+
+extern "C" {
+
+// geno_format codes
+enum { FMT_PHASED = 0, FMT_PAIRS = 1, FMT_HAPLO = 2, FMT_DIPLO = 3 };
+
+// Parse a chunk of complete lines.
+//
+// buf/len          : decompressed text (must end at a line boundary)
+// gt_block_len     : total byte length of the genotype block per line
+// n_sel            : number of selected individuals
+// sel_offsets      : byte offset of each selected individual's field within
+//                    the genotype block
+// sel_ploidy       : haplotypes per selected individual
+// sel_row_start    : for individual j, its haplotypes go to rows
+//                    row_index[sel_row_start[j] .. +sel_ploidy[j])
+// row_index        : flat list of destination row ids
+// fmt              : genotype format code
+// alleles          : out int8 [n_rows, capacity] row-major
+// row_stride       : capacity (elements per row)
+// positions        : out int64[capacity]
+// scaf_breaks      : out int64[3*max_breaks]: (line_idx, name_off, name_len)
+// n_breaks_out     : number of breaks written
+// n_lines_out      : lines successfully parsed
+//
+// Returns 0 on success; otherwise the 1-based byte offset of the first
+// unparseable line (caller reparses from there with the fallback), or -1 if
+// scaf_breaks capacity was exceeded.
+int64_t parse_geno_chunk(
+    const uint8_t* buf, int64_t len, int64_t gt_block_len,
+    int32_t n_sel, const int64_t* sel_offsets, const int32_t* sel_ploidy,
+    const int64_t* sel_row_start, const int32_t* row_index, int32_t fmt,
+    int8_t* alleles, int64_t row_stride, int64_t* positions,
+    int64_t* scaf_breaks, int64_t max_breaks,
+    int64_t* n_breaks_out, int64_t* n_lines_out) {
+  int64_t i = 0;
+  int64_t line = 0;
+  int64_t n_breaks = 0;
+  const uint8_t* prev_name = nullptr;
+  int64_t prev_name_len = -1;
+
+  while (i < len) {
+    int64_t line_start = i;
+    if (buf[i] == '#') {  // comment line: skip to newline
+      while (i < len && buf[i] != '\n') ++i;
+      ++i;
+      continue;
+    }
+    if (buf[i] == '\n') { ++i; continue; }
+
+    // scaffold
+    int64_t name_off = i;
+    while (i < len && buf[i] != '\t' && buf[i] != '\n') ++i;
+    if (i >= len || buf[i] != '\t') { *n_lines_out = line; *n_breaks_out = n_breaks; return line_start + 1; }
+    int64_t name_len = i - name_off;
+    ++i;
+
+    // position
+    int64_t pos = 0;
+    int64_t dstart = i;
+    while (i < len && buf[i] >= '0' && buf[i] <= '9') {
+      pos = pos * 10 + (buf[i] - '0');
+      ++i;
+    }
+    if (i == dstart || i >= len || buf[i] != '\t') { *n_lines_out = line; *n_breaks_out = n_breaks; return line_start + 1; }
+    ++i;
+
+    // genotype block
+    int64_t gstart = i;
+    if (gstart + gt_block_len > len || buf[gstart + gt_block_len] != '\n') {
+      *n_lines_out = line; *n_breaks_out = n_breaks; return line_start + 1;
+    }
+
+    // scaffold run tracking
+    if (prev_name_len != name_len ||
+        std::memcmp(buf + name_off, prev_name, (size_t)name_len) != 0) {
+      if (n_breaks >= max_breaks) { *n_lines_out = line; *n_breaks_out = n_breaks; return -1; }
+      scaf_breaks[3 * n_breaks] = line;
+      scaf_breaks[3 * n_breaks + 1] = name_off;
+      scaf_breaks[3 * n_breaks + 2] = name_len;
+      ++n_breaks;
+      prev_name = buf + name_off;
+      prev_name_len = name_len;
+    }
+
+    positions[line] = pos;
+
+    // decode selected genotype fields
+    for (int32_t j = 0; j < n_sel; ++j) {
+      const uint8_t* f = buf + gstart + sel_offsets[j];
+      int32_t k = sel_ploidy[j];
+      const int32_t* rows = row_index + sel_row_start[j];
+      if (fmt == FMT_PHASED || fmt == FMT_PAIRS || fmt == FMT_HAPLO) {
+        int step = (fmt == FMT_PHASED) ? 2 : 1;
+        bool bad = false;
+        int8_t tmp[16];
+        for (int32_t a = 0; a < k; ++a) {
+          int8_t c = LUT.base[f[a * step]];
+          if (c == POISON) bad = true;
+          tmp[a] = c;
+        }
+        if (bad) {
+          for (int32_t a = 0; a < k; ++a)
+            alleles[(int64_t)rows[a] * row_stride + line] = MISSING;
+        } else {
+          for (int32_t a = 0; a < k; ++a)
+            alleles[(int64_t)rows[a] * row_stride + line] = tmp[a];
+        }
+      } else {  // FMT_DIPLO
+        uint8_t b = f[0];
+        if (k == 2) {
+          int8_t c1 = LUT.diplo1[b];
+          int8_t c2 = LUT.diplo2[b];
+          if (c1 == POISON || c2 == POISON) { c1 = MISSING; c2 = MISSING; }
+          alleles[(int64_t)rows[0] * row_stride + line] = c1;
+          alleles[(int64_t)rows[1] * row_stride + line] = c2;
+        } else {
+          int8_t c = LUT.diploHomo[b];
+          alleles[(int64_t)rows[0] * row_stride + line] = (c == POISON) ? MISSING : c;
+        }
+      }
+    }
+
+    i = gstart + gt_block_len + 1;  // past newline
+    ++line;
+  }
+  *n_lines_out = line;
+  *n_breaks_out = n_breaks;
+  return 0;
+}
+
+// Whole-buffer gzip decompression via libdeflate (2-3x faster than zlib).
+// Handles multi-member gzip streams.  Returns total decompressed bytes, or
+// -1 (output too small) / -2 (corrupt) / -3 (not built with libdeflate).
+int64_t gzip_decompress(const uint8_t* in, int64_t in_len,
+                        uint8_t* out, int64_t out_cap) {
+#ifdef HAVE_LIBDEFLATE
+  struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+  int64_t in_off = 0, out_off = 0;
+  while (in_off < in_len) {
+    size_t in_used = 0, out_used = 0;
+    enum libdeflate_result r = libdeflate_gzip_decompress_ex(
+        d, in + in_off, (size_t)(in_len - in_off),
+        out + out_off, (size_t)(out_cap - out_off), &in_used, &out_used);
+    if (r == LIBDEFLATE_INSUFFICIENT_SPACE) {
+      libdeflate_free_decompressor(d);
+      return -1;
+    }
+    if (r != LIBDEFLATE_SUCCESS) {
+      libdeflate_free_decompressor(d);
+      return -2;
+    }
+    in_off += (int64_t)in_used;
+    out_off += (int64_t)out_used;
+    if (in_used == 0) break;
+  }
+  libdeflate_free_decompressor(d);
+  return out_off;
+#else
+  (void)in; (void)in_len; (void)out; (void)out_cap;
+  return -3;
+#endif
+}
+
+}  // extern "C"

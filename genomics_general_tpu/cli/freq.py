@@ -87,27 +87,13 @@ def minor_allele_codes(counts: np.ndarray) -> np.ndarray:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    # header individuals
-    fobj = geno_io.open_maybe_gz(args.genoFile, "rb") if args.genoFile else sys.stdin.buffer
-    reader_probe_header = None
-
-    # ---- populations (freq.py:243-274)
-    header_inds = None
-
-    def get_header_inds():
-        nonlocal header_inds
-        if header_inds is None:
-            raise RuntimeError
-        return header_inds
-
-    # We must know header inds before building SampleData when pops unspecified
-    # -> peek the header by constructing the reader lazily below.
+    # ---- populations (freq.py:243-274); the header must be read first to
+    # resolve default populations
     pop_names: list[str] = []
     pop_inds: dict[str, list[str]] = {}
-
-    # build reader with no sample subset first to learn the header
-    tmp_reader = geno_io.GenoReader(fobj, sample_data=None,
-                                    geno_format=args.genoFormat)
+    tmp_reader = geno_io.GenoReader(
+        args.genoFile if args.genoFile else sys.stdin.buffer,
+        sample_data=None, geno_format=args.genoFormat)
     header_inds = tmp_reader.file_ind_names
 
     if not args.indFreqs and not args.population:
@@ -160,12 +146,7 @@ def main(argv=None) -> int:
 
     sd = SampleData(ind_names=all_inds, pop_names=pop_names,
                     pop_inds=pop_inds, ploidy=ploidy)
-    # rebuild reader bound to the chosen samples (reuse the already-open file)
-    reader = geno_io.GenoReader(tmp_reader.f, sample_data=sd,
-                                geno_format=args.genoFormat,
-                                header="\t".join(["#CHROM", "POS"] + header_inds))
-    reader._tail = tmp_reader._tail
-    reader._eof = tmp_reader._eof
+    reader = geno_io.rebind_reader(tmp_reader, sd)
     data = reader.read_all()
     model = data.model
 

@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from ..jaxconfig import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     wind = common.resolve_window_args(args)
     analysis = args.analysis

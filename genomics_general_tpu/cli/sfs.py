@@ -158,10 +158,9 @@ def _run(args, include, exclude, n_intervals):
     if input_type == "genotypes":
         assert args.scafCol == 0 and args.posCol == 1 and args.firstSampleCol == 2, \
             "non-default column layouts are not supported yet"
-        fobj = geno_io.open_maybe_gz(args.inputFile, "rb") if args.inputFile \
-            else sys.stdin.buffer
-        probe = geno_io.GenoReader(fobj, sample_data=None,
-                                   geno_format=args.genoFormat, header=args.header)
+        probe = geno_io.GenoReader(
+            args.inputFile if args.inputFile else sys.stdin.buffer,
+            sample_data=None, geno_format=args.genoFormat, header=args.header)
         header_inds = probe.file_ind_names
         if not sample_names_known:
             pop_dict = {"all": list(header_inds)}
@@ -181,11 +180,7 @@ def _run(args, include, exclude, n_intervals):
 
         sd = SampleData(ind_names=list(all_samples), pop_names=list(pop_names),
                         pop_inds=pop_dict, ploidy=ploidy_dict)
-        reader = geno_io.GenoReader(
-            probe.f, sample_data=sd, geno_format=args.genoFormat,
-            header="\t".join(["#CHROM", "POS"] + list(header_inds)))
-        reader._tail = probe._tail
-        reader._eof = probe._eof
+        reader = geno_io.rebind_reader(probe, sd)
         data = reader.read_all()
         model = data.model
         S = data.n_sites

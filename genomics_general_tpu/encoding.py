@@ -89,6 +89,18 @@ def _make_diplo_luts() -> tuple[np.ndarray, np.ndarray]:
 
 DIPLO_LUT_1, DIPLO_LUT_2 = _make_diplo_luts()
 
+
+def _make_diplo_homo_lut() -> np.ndarray:
+    """diplo byte -> homozygous allele code; hets/N -> missing (forceHomo via
+    diploHomoDict, reference genomics.py:406-408)."""
+    lut = np.full(256, _POISON, dtype=np.int8)
+    for d, h in zip(DIPLOTYPES, HOMOTYPES):
+        lut[ord(d)] = seqNumDict[h] if h != "N" else MISSING
+    return lut
+
+
+DIPLO_HOMO_LUT = _make_diplo_homo_lut()
+
 # numeric code -> base character byte (for re-encoding / writers)
 CODE_TO_BYTE = np.full(4, 0, dtype=np.uint8)
 for _i, _b in enumerate(b"ACGT"):

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import gzip
 import io as _io
+import os
 import sys
 from dataclasses import dataclass
 
@@ -89,8 +90,24 @@ class GenoReader:
     def __init__(self, fileobj, sample_data: SampleData | None = None,
                  geno_format: str = "phased", header: str | None = None,
                  chunk_bytes: int = 16 << 20):
+        self._whole: np.ndarray | None = None
         if isinstance(fileobj, str):
-            fileobj = open_maybe_gz(fileobj, "rb")
+            if fileobj.endswith(".gz") and os.path.getsize(fileobj) < (4 << 30) \
+                    and os.environ.get("GGT_NO_NATIVE_PARSER") != "1":
+                # whole-file libdeflate decompression (2-3x faster than zlib),
+                # kept as a numpy buffer for the zero-copy native parse path
+                try:
+                    from .native import gzip_decompress_array
+                    self._whole = gzip_decompress_array(open(fileobj, "rb").read())
+                except Exception:
+                    self._whole = None
+                if self._whole is None:
+                    fileobj = open_maybe_gz(fileobj, "rb")
+                else:
+                    fileobj = _io.BytesIO(b"")
+                    self._whole_off = 0
+            else:
+                fileobj = open_maybe_gz(fileobj, "rb")
         if hasattr(fileobj, "buffer"):      # text stdin
             fileobj = fileobj.buffer
         self.f = fileobj
@@ -126,10 +143,26 @@ class GenoReader:
         self._scaf_index: dict[bytes, int] = {}
         # genotype-block layout (established from the first data line)
         self._field_widths: np.ndarray | None = None
+        self._native = None
+        self._native_failed = os.environ.get("GGT_NO_NATIVE_PARSER") == "1"
 
     # ------------------------------------------------------------------ I/O
 
     def _read_header_line(self) -> bytes:
+        if self._whole is not None:
+            # scan only the head; headers are small
+            step = 1 << 20
+            nl = -1
+            for off in range(0, self._whole.size, step):
+                seg = self._whole[off:off + step]
+                hits = np.flatnonzero(seg == ord("\n"))
+                if hits.size:
+                    nl = off + int(hits[0])
+                    break
+            if nl < 0:
+                nl = self._whole.size
+            self._whole_off = nl + 1
+            return self._whole[:nl].tobytes()
         buf = b""
         while b"\n" not in buf:
             b_ = self.f.read(4096)
@@ -140,8 +173,19 @@ class GenoReader:
         self._tail = rest
         return line
 
-    def _read_chunk_lines(self) -> bytes | None:
-        """Return a bytes blob of whole lines (ending with newline), or None at EOF."""
+    def _read_chunk_lines(self):
+        """Return a blob (bytes or uint8 array) of whole lines ending with a
+        newline, or None at EOF."""
+        if self._whole is not None:
+            off = self._whole_off
+            total = self._whole.size
+            if off >= total:
+                return None
+            self._whole_off = total
+            blob = self._whole[off:]
+            if blob.size and blob[-1] != ord("\n"):
+                blob = np.concatenate([blob, np.array([ord("\n")], np.uint8)])
+            return blob
         if self._eof and not self._tail:
             return None
         data = self._tail
@@ -191,19 +235,52 @@ class GenoReader:
         """Parse a blob of complete lines into a GenoChunk."""
         if self._field_widths is None:
             # find first non-comment line to establish layout
-            for ln in blob.split(b"\n"):
+            head = blob.tobytes() if isinstance(blob, np.ndarray) else blob
+            for ln in head.split(b"\n"):
                 if ln and not ln.startswith(b"#"):
                     self._establish_layout(ln)
                     break
             if self._field_widths is None:
                 return None
+        if not self._native_failed:
+            if self._native is None:
+                try:
+                    from .native import NativeParser
+                    self._native = NativeParser(
+                        self.model.n_rows, self._sel_offsets,
+                        [len(o) for o in self.model.ind_order],
+                        self.model.ind_order, self._gt_block_len,
+                        self.geno_format)
+                except Exception:
+                    self._native_failed = True
+            if self._native is not None:
+                res = self._native.parse(blob)
+                if res is not None:
+                    alleles, positions, names, lines_at = res
+                    n = positions.shape[0]
+                    scaffold_ids = np.empty(n, dtype=np.int32)
+                    bounds = np.concatenate([lines_at, [n]])
+                    for k, name in enumerate(names):
+                        scaffold_ids[bounds[k]:bounds[k + 1]] = \
+                            self._scaf_id(bytes(name))
+                    return GenoChunk(alleles=alleles, positions=positions,
+                                     scaffold_ids=scaffold_ids)
         try:
             return self._parse_chunk_fast(blob)
         except _FallbackNeeded:
             return self._parse_chunk_slow(blob)
 
     def _parse_chunk_fast(self, blob: bytes) -> GenoChunk | None:
-        buf = np.frombuffer(blob, dtype=np.uint8)
+        """Vectorized chunk parse using only 1-D gathers.
+
+        Key trick: in a well-formed file the genotype block has a fixed byte
+        length L, so the second tab sits at ``end - L - 1`` on every line —
+        no tab scan needed.  The position field is parsed from a right-aligned
+        digit window ending at that tab; the first non-digit byte from the
+        right marks the scaffold/position boundary.
+        """
+        buf = blob if isinstance(blob, np.ndarray) \
+            else np.frombuffer(blob, dtype=np.uint8)
         nl = np.flatnonzero(buf == ord("\n"))
         if nl.size == 0:
             return None
@@ -219,42 +296,38 @@ class GenoReader:
                 positions=np.empty(0, np.int64),
                 scaffold_ids=np.empty(0, np.int32))
 
-        tabs = np.flatnonzero(buf == ord("\t")).astype(np.int64)
-        ti = np.searchsorted(tabs, starts)
-        if np.any(ti + 1 >= tabs.size + 1):
+        L = self._gt_block_len
+        t2 = ends - L - 1
+        if np.any(t2 <= starts) or np.any(buf[t2] != ord("\t")):
             raise _FallbackNeeded
-        # guard: need at least two tabs per line
-        if tabs.size < 2 or np.any(ti + 1 >= tabs.size):
-            raise _FallbackNeeded
-        t1 = tabs[ti]
-        t2 = tabs[ti + 1]
-        if np.any(t1 >= ends) or np.any(t2 >= ends):
-            raise _FallbackNeeded
-
-        # ---- genotype block: must be fixed layout
         gstart = t2 + 1
-        if np.any(ends - gstart != self._gt_block_len):
-            raise _FallbackNeeded
-        block = buf[gstart[:, None] + np.arange(self._gt_block_len)]
-        # verify separators are single tabs at expected offsets
-        sep_off = self._field_offsets[1:] - 1
-        if sep_off.size and not np.all(block[:, sep_off] == ord("\t")):
-            raise _FallbackNeeded
 
-        # ---- positions: vectorized digit parse
-        pw = t2 - t1 - 1
-        maxpw = int(pw.max())
-        if maxpw > 18:
+        # verify separators are single tabs at expected offsets (1-D gathers)
+        for so in self._field_offsets[1:] - 1:
+            if not np.all(buf[gstart + so] == ord("\t")):
+                raise _FallbackNeeded
+
+        # ---- positions: right-aligned digit window ending at t2
+        W = min(19, int((t2 - starts).max()))
+        col = np.arange(W)
+        idx = (t2 - W)[:, None] + col[None, :]          # [n, W] small
+        window = buf[np.maximum(idx, starts[:, None])]
+        digit = (window >= ord("0")) & (window <= ord("9"))
+        nd = ~digit
+        has_nd = nd.any(axis=1)
+        if not has_nd.all():
+            raise _FallbackNeeded                        # position too wide
+        r = W - 1 - np.argmax(nd[:, ::-1], axis=1)       # rightmost non-digit
+        pw = W - 1 - r
+        if np.any(pw < 1):
             raise _FallbackNeeded
-        # right-aligned digit matrix
-        col = np.arange(maxpw)
-        idx = (t2 - maxpw)[:, None] + col[None, :]  # [n, maxpw]
-        valid = col >= (maxpw - pw)[:, None]
-        digits = buf[np.maximum(idx, 0)].astype(np.int64) - ord("0")
-        digits = np.where(valid, digits, 0)
-        if np.any((digits < 0) | (digits > 9)):
+        vals = window.astype(np.int64) - ord("0")
+        contrib_mask = col[None, :] > r[:, None]
+        positions = np.where(contrib_mask, vals, 0) @ _POW10[-W:]
+
+        t1 = t2 - pw - 1
+        if np.any(buf[t1] != ord("\t")):
             raise _FallbackNeeded
-        positions = digits @ _POW10[-maxpw:]
 
         # ---- scaffolds: padded name matrix, find run boundaries
         sw = t1 - starts
@@ -275,23 +348,54 @@ class GenoReader:
             name = blob[starts[b0]:t1[b0]]
             scaffold_ids[b0:b1] = self._scaf_id(bytes(name))
 
-        # ---- decode genotypes per selected individual
+        # ---- decode genotypes: per-haplotype 1-D gathers + LUT
         H = self.model.n_rows
         alleles = np.empty((H, n), dtype=np.int8)
-        for j, ind in enumerate(self.sample_data.ind_names):
-            off = self._sel_offsets[j]
+        fmt = self.geno_format
+        for j in range(len(self.sample_data.ind_names)):
+            off = int(self._sel_offsets[j])
             w = int(self._sel_widths[j])
-            field = block[:, off:off + w]
-            codes = encoding.decode_genotype_fields(
-                field, self.geno_format, len(self.model.ind_order[j]))
             rows = self.model.ind_order[j]
-            alleles[rows, :] = codes.T
+            k = rows.size
+            if fmt == "phased":
+                if w != 2 * k - 1:
+                    raise _FallbackNeeded
+                cols = [encoding.BASE_LUT[buf[gstart + off + 2 * a]]
+                        for a in range(k)]
+            elif fmt in ("pairs", "alleles", "haplo"):
+                if w != k:
+                    raise _FallbackNeeded
+                cols = [encoding.BASE_LUT[buf[gstart + off + a]]
+                        for a in range(k)]
+            elif fmt == "diplo":
+                if w != 1:
+                    raise _FallbackNeeded
+                b = buf[gstart + off]
+                if k == 2:
+                    cols = [encoding.DIPLO_LUT_1[b], encoding.DIPLO_LUT_2[b]]
+                else:
+                    cols = [encoding.DIPLO_HOMO_LUT[b]]
+            else:
+                raise _FallbackNeeded
+            if k == 1:
+                c0 = cols[0]
+                np.copyto(c0, encoding.MISSING, where=(c0 == encoding._POISON))
+                alleles[rows[0], :] = c0
+            else:
+                bad = cols[0] == encoding._POISON
+                for c in cols[1:]:
+                    bad |= c == encoding._POISON
+                for a, c in enumerate(cols):
+                    np.copyto(c, encoding.MISSING, where=bad)
+                    alleles[rows[a], :] = c
         return GenoChunk(alleles=alleles, positions=positions,
                          scaffold_ids=scaffold_ids)
 
-    def _parse_chunk_slow(self, blob: bytes) -> GenoChunk:
+    def _parse_chunk_slow(self, blob) -> GenoChunk:
         """Per-line fallback, matching reference parseGenoLine semantics
         (split on arbitrary whitespace, genomics.py:1884-1904)."""
+        if isinstance(blob, np.ndarray):
+            blob = blob.tobytes()
         lines = [ln for ln in blob.split(b"\n") if ln and not ln.startswith(b"#")]
         n = len(lines)
         H = self.model.n_rows
@@ -328,6 +432,12 @@ class GenoReader:
 
     def read_all(self) -> GenoData:
         chunks = list(self.iter_chunks())
+        if len(chunks) == 1:
+            c = chunks[0]
+            return GenoData(alleles=c.alleles, positions=c.positions,
+                            scaffold_ids=c.scaffold_ids,
+                            scaffold_names=list(self.scaffold_names),
+                            model=self.model)
         if chunks:
             alleles = np.concatenate([c.alleles for c in chunks], axis=1)
             positions = np.concatenate([c.positions for c in chunks])
@@ -351,3 +461,17 @@ def read_geno(path_or_file, sample_data: SampleData | None = None,
     reader = GenoReader(path_or_file, sample_data=sample_data,
                         geno_format=geno_format, header=header)
     return reader.read_all()
+
+
+def rebind_reader(probe: GenoReader, sample_data: SampleData) -> GenoReader:
+    """Create a reader bound to a sample subset, continuing from a probe
+    reader that already consumed the header (used by CLIs that must read the
+    header before resolving populations)."""
+    r = GenoReader(probe.f, sample_data=sample_data,
+                   geno_format=probe.geno_format,
+                   header="\t".join(["#CHROM", "POS"] + probe.file_ind_names))
+    r._tail = probe._tail
+    r._eof = probe._eof
+    r._whole = probe._whole
+    r._whole_off = getattr(probe, "_whole_off", 0)
+    return r

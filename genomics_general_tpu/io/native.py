@@ -1,0 +1,171 @@
+"""ctypes loader for the native geno tokenizer (csrc/geno_parser.cpp).
+
+Auto-builds the shared library with g++ on first use (cached next to the
+source); falls back silently to the numpy parser when no toolchain is
+available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_CSRC = Path(__file__).resolve().parent.parent.parent / "csrc"
+_LIB_PATH = _CSRC / "libgenoparser.so"
+
+FMT_CODES = {"phased": 0, "pairs": 1, "alleles": 1, "haplo": 2, "diplo": 3}
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    src = _CSRC / "geno_parser.cpp"
+    if not src.exists():
+        return False
+    base = ["g++", "-O3", "-shared", "-fPIC", "-march=native",
+            "-o", str(_LIB_PATH), str(src)]
+    for extra in (["-DHAVE_LIBDEFLATE", "-ldeflate"], []):
+        try:
+            subprocess.run(base + extra, check=True, capture_output=True,
+                           timeout=120)
+            return True
+        except Exception:
+            continue
+    return False
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    src = _CSRC / "geno_parser.cpp"
+    if not _LIB_PATH.exists() or (src.exists() and
+                                  src.stat().st_mtime > _LIB_PATH.stat().st_mtime):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    try:
+        lib.gzip_decompress.restype = ctypes.c_int64
+        lib.gzip_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"), ctypes.c_int64]
+    except AttributeError:
+        pass
+    lib.parse_geno_chunk.restype = ctypes.c_int64
+    lib.parse_geno_chunk.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.int32, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.int32, flags="C"),
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int8, flags="C"),
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    _lib = lib
+    return _lib
+
+
+def gzip_decompress_array(data: bytes):
+    """Whole-buffer gzip decompression via libdeflate; returns a uint8 numpy
+    array (no copy) or None on any failure.  Output size comes from the gzip
+    ISIZE footer (mod 2^32); the buffer is grown on INSUFFICIENT_SPACE for
+    >4GB or multi-member streams."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gzip_decompress"):
+        return None
+    import struct
+    if len(data) < 18:
+        return None
+    isize = struct.unpack("<I", data[-4:])[0]
+    cap = max(isize, len(data) * 3, 1 << 20)
+    for _ in range(6):
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.gzip_decompress(data, len(data), out, cap)
+        if n >= 0:
+            return out[:n]
+        if n == -1:
+            cap *= 4
+            continue
+        return None
+    return None
+
+
+def gzip_decompress_bytes(data: bytes) -> bytes | None:
+    arr = gzip_decompress_array(data)
+    return arr.tobytes() if arr is not None else None
+
+
+class NativeParser:
+    """Per-reader state for the native tokenizer."""
+
+    def __init__(self, n_rows: int, sel_offsets: np.ndarray,
+                 sel_ploidy: list[int], row_orders: list[np.ndarray],
+                 gt_block_len: int, geno_format: str):
+        self.lib = get_lib()
+        if self.lib is None:
+            raise RuntimeError("native parser unavailable")
+        self.n_rows = n_rows
+        self.fmt = FMT_CODES[geno_format]
+        self.gt_block_len = gt_block_len
+        self.sel_offsets = np.ascontiguousarray(sel_offsets, dtype=np.int64)
+        self.sel_ploidy = np.ascontiguousarray(sel_ploidy, dtype=np.int32)
+        starts = np.zeros(len(sel_ploidy), dtype=np.int64)
+        np.cumsum(self.sel_ploidy[:-1], out=starts[1:])
+        self.sel_row_start = starts
+        self.row_index = np.ascontiguousarray(
+            np.concatenate(row_orders), dtype=np.int32)
+
+    def parse(self, blob):
+        """blob: bytes or uint8 numpy array of whole lines.  Returns
+        (alleles [H,n], positions [n], scaf_names list, scaf_break line
+        indices) or None if the chunk needs the fallback parser."""
+        if isinstance(blob, np.ndarray):
+            buf_ptr = blob.ctypes.data_as(ctypes.c_void_p)
+            blob_len = blob.size
+            blob_bytes = None
+        else:
+            buf_ptr = ctypes.cast(ctypes.c_char_p(blob), ctypes.c_void_p)
+            blob_len = len(blob)
+            blob_bytes = blob
+        # upper bound on line count: minimal line is "s\tP\t" + block + "\n"
+        n_max = blob_len // (self.gt_block_len + 4) + 2
+        alleles = np.empty((self.n_rows, n_max), dtype=np.int8)
+        positions = np.empty(n_max, dtype=np.int64)
+        max_breaks = 65536
+        breaks = np.empty(3 * max_breaks, dtype=np.int64)
+        n_breaks = ctypes.c_int64(0)
+        n_lines = ctypes.c_int64(0)
+        ret = self.lib.parse_geno_chunk(
+            buf_ptr, blob_len, self.gt_block_len,
+            np.int32(len(self.sel_ploidy)), self.sel_offsets, self.sel_ploidy,
+            self.sel_row_start, self.row_index, np.int32(self.fmt),
+            alleles, np.int64(n_max), positions,
+            breaks, np.int64(max_breaks),
+            ctypes.byref(n_breaks), ctypes.byref(n_lines))
+        if ret != 0:
+            return None
+        n = n_lines.value
+        nb = n_breaks.value
+        names = []
+        lines_at = np.empty(nb, dtype=np.int64)
+        for k in range(nb):
+            li, off, ln = breaks[3 * k], breaks[3 * k + 1], breaks[3 * k + 2]
+            lines_at[k] = li
+            names.append(blob[off:off + ln])
+        return alleles[:, :n], positions[:n], names, lines_at

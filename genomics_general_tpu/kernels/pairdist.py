@@ -92,13 +92,24 @@ def long_span_pair_counts(alleles_dev: jnp.ndarray, first: int, last: int,
     return mism, shar
 
 
+@functools.partial(jax.jit, static_argnames=("s_max",))
+def _gathered_pair_counts(alleles: jnp.ndarray, first: jnp.ndarray,
+                          n_sites: jnp.ndarray, s_max: int):
+    wa, valid = gather_window_batch(alleles, first, n_sites, s_max)
+    m, s = pairwise_counts(wa, valid)
+    # stacked so the host needs a single fetch per batch (remote-link latency)
+    return jnp.stack([m, s])
+
+
 def window_pair_counts(alleles_dev: jnp.ndarray, first: np.ndarray,
-                       n_sites: np.ndarray, batch_size: int = 64,
-                       bucket_rounding: int = 512):
+                       n_sites: np.ndarray, batch_size: int = 1024,
+                       bucket_rounding: int = 1024):
     """Host driver: compute pairwise counts for all windows.
 
     Windows are bucketed by padded length (rounded up to ``bucket_rounding``)
-    to bound recompilation, and dispatched in batches.  Returns numpy
+    to bound recompilation and dispatched in fixed-size batches.  All device
+    calls are launched asynchronously before any result is fetched, so
+    host<->device latency overlaps with compute.  Returns numpy
     (mismatch [W, H, H], shared [W, H, H]) in window order.
     """
     W = first.shape[0]
@@ -111,6 +122,7 @@ def window_pair_counts(alleles_dev: jnp.ndarray, first: np.ndarray,
         bucket_rounding,
         ((n_sites + bucket_rounding - 1) // bucket_rounding) * bucket_rounding)
     order = np.argsort(padded, kind="stable")
+    pending = []
     i = 0
     while i < W:
         j = i
@@ -123,10 +135,12 @@ def window_pair_counts(alleles_dev: jnp.ndarray, first: np.ndarray,
         ns = np.zeros(batch_size, dtype=np.int32)
         f[:b] = first[sel]
         ns[:b] = n_sites[sel]
-        wa, valid = gather_window_batch(alleles_dev, jnp.asarray(f),
-                                        jnp.asarray(ns), s_max)
-        m, s = pairwise_counts(wa, valid)
-        mism[sel] = np.asarray(m[:b])
-        shar[sel] = np.asarray(s[:b])
+        ms = _gathered_pair_counts(alleles_dev, jnp.asarray(f),
+                                   jnp.asarray(ns), s_max)
+        pending.append((sel, b, ms))
         i = j
+    for sel, b, ms in pending:
+        host = np.asarray(ms)
+        mism[sel] = host[0, :b]
+        shar[sel] = host[1, :b]
     return mism, shar
