@@ -2,10 +2,18 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
 # without TPU hardware; set before any jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Some environments install a sitecustomize hook that registers an
+# alternative TPU backend and forcibly overrides the jax_platforms config
+# at interpreter start; override it back so tests always run on the
+# virtual 8-device CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path

@@ -79,6 +79,68 @@ def simulate_geno(path: Path, n_pops=4, inds_per_pop=5, seed=42,
     return inds, pops
 
 
+def simulate_vcf(path: Path, n_samples=6, seed=19,
+                 scaffolds=(("chr1", 100_000), ("chr2", 60_000)),
+                 n_sites_per_scaf=400):
+    """Synthetic VCF exercising parseVCF edge cases: SNPs, indels,
+    multiallelic sites, monomorphic sites (ALT="."), missing genotypes,
+    duplicated positions, mixed phasing, per-sample DP/GQ fields."""
+    rng = np.random.default_rng(seed)
+    samples = [f"s{i+1}" for i in range(n_samples)]
+    bases = "ACGT"
+    lines = ["##fileformat=VCFv4.2"]
+    for scaf, length in scaffolds:
+        lines.append(f"##contig=<ID={scaf},length={length}>")
+    lines.append('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">')
+    lines.append('##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">')
+    lines.append('##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="GQ">')
+    lines.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" +
+                 "\t".join(samples))
+    for scaf, length in scaffolds:
+        pos = np.sort(rng.choice(np.arange(1, length + 1),
+                                 size=n_sites_per_scaf, replace=False))
+        for i, p in enumerate(pos):
+            ref = bases[rng.integers(0, 4)]
+            kind = rng.random()
+            if kind < 0.05:          # monomorphic
+                alt = ["."]
+            elif kind < 0.12:        # indel: insertion or deletion
+                if rng.random() < 0.5:
+                    ref = ref + "".join(bases[b] for b in rng.integers(0, 4, 2))
+                    alt = [ref[0]]
+                else:
+                    alt = [ref + bases[rng.integers(0, 4)]]
+            elif kind < 0.2:         # multiallelic SNP
+                others = [b for b in bases if b != ref]
+                alt = list(rng.choice(others, size=2, replace=False))
+            else:                    # biallelic SNP
+                alt = [rng.choice([b for b in bases if b != ref])]
+            n_alt = 0 if alt == ["."] else len(alt)
+            qual = round(float(rng.uniform(3, 900)), 1)
+            cols = [scaf, str(p), ".", ref, ",".join(alt), str(qual),
+                    "PASS", ".", "GT:DP:GQ"]
+            for _ in samples:
+                if rng.random() < 0.06:
+                    gt = "./."
+                else:
+                    a = rng.integers(0, n_alt + 1, 2)
+                    sep = "|" if rng.random() < 0.5 else "/"
+                    gt = f"{a[0]}{sep}{a[1]}"
+                dp = rng.integers(0, 60)
+                gq = rng.integers(0, 99)
+                cols.append(f"{gt}:{dp}:{gq}")
+            lines.append("\t".join(cols))
+            # occasional duplicated position (same POS, new alleles)
+            if rng.random() < 0.02:
+                dup = cols[:]
+                dup[4] = rng.choice([b for b in bases if b != ref])
+                lines.append("\t".join(dup))
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    return samples
+
+
 def main():
     DATA.mkdir(exist_ok=True)
     simulate_geno(DATA / "sim1.geno.gz", seed=42)
@@ -91,6 +153,7 @@ def main():
     for a in range(10_000, 140_000, 40_000):
         wc.append(f"scaf2\t{a}\t{a + 39_999}\twin_s2_{a}")
     (DATA / "sim1.windCoords.txt").write_text("\n".join(wc) + "\n")
+    simulate_vcf(DATA / "sim1.vcf.gz", seed=19)
     print("fixtures written to", DATA)
 
 

@@ -99,4 +99,11 @@ python "$REF/distMat.py" -g $D/sim1.geno.gz -f phased \
   --windType cat --outFormat phylip \
   -o $G/distmat_cat.phy 2>/dev/null
 
+echo "== parseVCF =="
+python "$REF/VCF_processing/parseVCF.py" -i $D/sim1.vcf.gz -o $G/vcf_basic.geno 2>/dev/null
+python "$REF/VCF_processing/parseVCF.py" -i $D/sim1.vcf.gz --skipIndels --minQual 30 -o $G/vcf_snp_qual.geno 2>/dev/null
+python "$REF/VCF_processing/parseVCF.py" -i $D/sim1.vcf.gz --gtf flag=DP min=5 max=50 --gtf flag=GQ min=30 gtTypes=Het -o $G/vcf_gtf.geno 2>/dev/null
+python "$REF/VCF_processing/parseVCF.py" -i $D/sim1.vcf.gz --field DP -o $G/vcf_field_dp.tsv 2>/dev/null
+python "$REF/VCF_processing/parseVCF.py" -i $D/sim1.vcf.gz --excludeDuplicates --addRefTrack -s s1,s3,s5 -o $G/vcf_dedup_ref.geno 2>/dev/null
+
 echo "done."
