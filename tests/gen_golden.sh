@@ -106,4 +106,17 @@ python "$REF/VCF_processing/parseVCF.py" -i $D/sim1.vcf.gz --gtf flag=DP min=5 m
 python "$REF/VCF_processing/parseVCF.py" -i $D/sim1.vcf.gz --field DP -o $G/vcf_field_dp.tsv 2>/dev/null
 python "$REF/VCF_processing/parseVCF.py" -i $D/sim1.vcf.gz --excludeDuplicates --addRefTrack -s s1,s3,s5 -o $G/vcf_dedup_ref.geno 2>/dev/null
 
+echo "== windowStats (np.NaN shim; stdout because of the args.ourFile typo) =="
+wshim() { python - "$@" <<SHIM
+import numpy, sys, runpy
+numpy.NaN = numpy.nan
+sys.path.insert(0, "$REF")
+sys.argv = ["windowStats.py"] + sys.argv[1:]
+runpy.run_path("$REF/windowStats.py", run_name="__main__")
+SHIM
+}
+wshim -i $G/freq_derived.tsv -w 20000 -s 10000 -m 5 > $G/windowstats_coord.csv 2>/dev/null
+wshim -i $G/freq_derived.tsv --windType sites -w 50 -O 10 -m 10 --stats mean median min max sd sum q5 q25 q75 q95 > $G/windowstats_sites.csv 2>/dev/null
+wshim -i $G/freq_derived.tsv --windType predefined --windCoords $D/sim1.windCoords.txt --columns pop2 pop3 > $G/windowstats_predef.csv 2>/dev/null
+
 echo "done."
