@@ -119,4 +119,16 @@ wshim -i $G/freq_derived.tsv -w 20000 -s 10000 -m 5 > $G/windowstats_coord.csv 2
 wshim -i $G/freq_derived.tsv --windType sites -w 50 -O 10 -m 10 --stats mean median min max sd sum q5 q25 q75 q95 > $G/windowstats_sites.csv 2>/dev/null
 wshim -i $G/freq_derived.tsv --windType predefined --windCoords $D/sim1.windCoords.txt --columns pop2 pop3 > $G/windowstats_predef.csv 2>/dev/null
 
+echo "== distPaint (np.NaN shim; reference worker crash would hang join) =="
+pshim() { timeout 240 python - "$@" <<SHIM
+import numpy, sys, runpy
+numpy.NaN = numpy.nan
+sys.path.insert(0, "$REF")
+sys.argv = ["distPaint.py"] + sys.argv[1:]
+runpy.run_path("$REF/distPaint.py", run_name="__main__")
+SHIM
+}
+pshim -g $D/sim_paint.geno.gz -w 50000 -s 25000 -m 50 -p pop1 -p pop2 -p pop3 --popsFile $D/sim_paint.pops.txt --writeFailedWindows -T 1 -o $G/distpaint_test.tsv 2>/dev/null
+pshim -g $D/sim_paint.geno.gz --windType sites -w 200 -m 100 -p pop1 -p pop2 -p pop3 --popsFile $D/sim_paint.pops.txt --delta_threshold 0.02 --addWindowID -T 1 -o $G/distpaint_delta.tsv 2>/dev/null
+
 echo "done."
