@@ -131,4 +131,9 @@ SHIM
 pshim -g $D/sim_paint.geno.gz -w 50000 -s 25000 -m 50 -p pop1 -p pop2 -p pop3 --popsFile $D/sim_paint.pops.txt --writeFailedWindows -T 1 -o $G/distpaint_test.tsv 2>/dev/null
 pshim -g $D/sim_paint.geno.gz --windType sites -w 200 -m 100 -p pop1 -p pop2 -p pop3 --popsFile $D/sim_paint.pops.txt --delta_threshold 0.02 --addWindowID -T 1 -o $G/distpaint_delta.tsv 2>/dev/null
 
+echo "== countGenotypePatterns =="
+python "$REF/countGenotypePatterns.py" -i $D/sim1.geno.gz -f phased -s pop1_ind1,pop2_ind1,pop3_ind1,pop4_ind1 -o $G/countpat_phased.csv 2>/dev/null
+python "$REF/countGenotypePatterns.py" -i $D/sim1.geno.gz -f phased -s pop1_ind1,pop2_ind1,pop3_ind1 --maxAlleles 3 --includeNull --maxSites 2000 -o $G/countpat_max3.csv 2>/dev/null
+python "$REF/countGenotypePatterns.py" -i $D/sim_diplo.geno.gz -f diplo -s pop1_ind1,pop1_ind2,pop2_ind1 -o $G/countpat_diplo.csv 2>/dev/null
+
 echo "done."
