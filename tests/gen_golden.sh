@@ -136,4 +136,11 @@ python "$REF/countGenotypePatterns.py" -i $D/sim1.geno.gz -f phased -s pop1_ind1
 python "$REF/countGenotypePatterns.py" -i $D/sim1.geno.gz -f phased -s pop1_ind1,pop2_ind1,pop3_ind1 --maxAlleles 3 --includeNull --maxSites 2000 -o $G/countpat_max3.csv 2>/dev/null
 python "$REF/countGenotypePatterns.py" -i $D/sim_diplo.geno.gz -f diplo -s pop1_ind1,pop1_ind2,pop2_ind1 -o $G/countpat_diplo.csv 2>/dev/null
 
+echo "== genoToSeq / seqToGeno =="
+python "$REF/genoToSeq.py" -g $D/sim1.geno.gz -f fasta -M cat --splitPhased -s $G/g2s_cat_split.fa 2>/dev/null
+python "$REF/genoToSeq.py" -g $D/sim_paint.geno.gz -f phylip -M contigs --NtoGap --ploidy 1 -s $G/g2s_contigs.phy 2>/dev/null
+python "$REF/genoToSeq.py" -g $D/sim_paint.geno.gz -f fasta -M windows --windType sites --windSize 100 --minSites 100 --maxDist 1000000 --overlap 0 --ploidy 1 -s $G/g2s_wind.fa 2>/dev/null
+python "$REF/seqToGeno.py" -s $G/g2s_cat_split.fa -f fasta -M samples -C chrA -P 2 2 2 2 2 2 2 2 2 2 2 2 2 2 2 2 2 2 2 2 -g $G/s2g_fused.geno 2>/dev/null
+python "$REF/seqToGeno.py" -s $G/g2s_contigs.phy -f phylip -M contigs -N samp1 -g $G/s2g_contigs.geno 2>/dev/null
+
 echo "done."
