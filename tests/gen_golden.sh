@@ -143,4 +143,9 @@ python "$REF/genoToSeq.py" -g $D/sim_paint.geno.gz -f fasta -M windows --windTyp
 python "$REF/seqToGeno.py" -s $G/g2s_cat_split.fa -f fasta -M samples -C chrA -P 2 2 2 2 2 2 2 2 2 2 2 2 2 2 2 2 2 2 2 2 -g $G/s2g_fused.geno 2>/dev/null
 python "$REF/seqToGeno.py" -s $G/g2s_contigs.phy -f phylip -M contigs -N samp1 -g $G/s2g_contigs.geno 2>/dev/null
 
+echo "== mergeGeno (uncompressed output: the reference never closes its gz writer) =="
+python "$REF/mergeGeno.py" -i $D/sim1.geno.gz -i $D/sim_hap.geno.gz -f $D/sim.fai --method intersect -o $G/merge_intersect.geno 2>/dev/null
+python "$REF/mergeGeno.py" -i $D/sim1.geno.gz -i $D/sim_hap.geno.gz -f $D/sim.fai --method union --unionMin 1 --mustIncludeFirst 1 --missing NN -o $G/merge_union.geno 2>/dev/null
+python "$REF/mergeGeno.py" -i $D/sim1.geno.gz -i $D/sim_hap.geno.gz -f $D/sim_small.fai --method all --outputOnly 2 -o $G/merge_all.geno 2>/dev/null
+
 echo "done."
