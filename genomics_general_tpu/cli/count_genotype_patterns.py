@@ -92,11 +92,9 @@ def main(argv=None) -> int:
         for b in range(4):
             counts[:, b] += (arr == b).sum(axis=0)
 
-    # rank of each base per site: frequency-descending, ties to later base
-    # (argsort ascending stable then reversed; absent bases sort last)
-    order = np.argsort(counts, axis=1, kind="stable")[:, ::-1]
-    rank = np.empty((S, 4), np.int8)
-    np.put_along_axis(rank, order, np.arange(4, dtype=np.int8)[None, :], axis=1)
+    # rank of each base per site, replicating the byFreq quicksort tie order
+    from ..encoding import alleles_by_freq_ranks
+    rank = alleles_by_freq_ranks(counts)
 
     # char codes: '0'..'3' by rank for present alleles; '.' for missing
     code_chars = np.array([ord("0") + i for i in range(4)], np.uint8)

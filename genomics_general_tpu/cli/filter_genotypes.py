@@ -91,17 +91,10 @@ def _code_char(c: int) -> str:
 
 
 def byfreq_order(counts: np.ndarray) -> np.ndarray:
-    """Per-site allele ranking: present alleles by count desc, ties by
-    DESCENDING allele index (replicates genomics.py:549-557).  Returns
-    [S, 4] of allele codes, -1 padding after the present ones."""
-    S = counts.shape[0]
-    key = counts.astype(np.int64) * 4 + np.arange(4)[None, :]
-    key[counts == 0] = -1
-    order = np.argsort(-key, axis=1, kind="stable")
-    n_present = (counts > 0).sum(axis=1)
-    ranked = np.where(np.arange(4)[None, :] < n_present[:, None],
-                      order, -1)
-    return ranked
+    """Per-site allele ranking (genomics.py:549-557), exact tie semantics.
+    Returns [S, 4] of allele codes, -1 padding after the present ones."""
+    from ..encoding import byfreq_allele_order
+    return byfreq_allele_order(counts)
 
 
 def main(argv=None) -> int:

@@ -193,3 +193,63 @@ def haploid_names(names: list[str], ploidies: list[int]) -> list[str]:
         else:
             out.extend(name + "_" + letter for letter in _string.ascii_uppercase[:p])
     return out
+
+
+def alleles_by_freq_ranks(counts: np.ndarray) -> np.ndarray:
+    """Rank bases by descending frequency exactly as
+    GenomeSite.alleles(byFreq=True) (genomics.py:549-557).
+
+    counts: int [S, 4] per-site base counts.  Returns int8 [S, 4] where
+    entry (s, b) is base b's position in the byFreq allele list (absent
+    bases get trailing ranks; callers must not use them).
+
+    The reference argsorts the COMPACTED present-allele count vector with
+    numpy's default (non-stable) quicksort and reverses it, so tie order is
+    an implementation detail of introsort.  The vectorized stable path here
+    agrees except on sites with tied present counts; those sites are
+    re-ranked individually with the reference's exact recipe.
+    """
+    counts = np.asarray(counts)
+    S = counts.shape[0]
+    order = np.argsort(counts, axis=1, kind="stable")[:, ::-1]
+    rank = np.empty((S, 4), np.int8)
+    np.put_along_axis(rank, order, np.arange(4, dtype=np.int8)[None, :],
+                      axis=1)
+    # sites with a tie among PRESENT counts need the exact quicksort order
+    srt = np.sort(counts, axis=1)
+    tied = ((srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] > 0)).any(axis=1)
+    for s in np.flatnonzero(tied):
+        idx = np.flatnonzero(counts[s] > 0)
+        compact = counts[s][idx]
+        by_freq = idx[np.argsort(compact)[::-1]]
+        r = np.full(4, len(idx), np.int8)
+        for pos, b in enumerate(by_freq):
+            r[b] = pos
+        # absent bases keep arbitrary trailing ranks
+        trail = len(idx)
+        for b in range(4):
+            if counts[s][b] == 0:
+                r[b] = trail
+                trail += 1
+        rank[s] = r
+    return rank
+
+
+def byfreq_allele_order(counts: np.ndarray) -> np.ndarray:
+    """Present alleles per site in byFreq order (allele codes, -1 padded),
+    i.e. the list GenomeSite.alleles(byFreq=True) would return — same
+    quicksort tie semantics as alleles_by_freq_ranks."""
+    counts = np.asarray(counts)
+    S = counts.shape[0]
+    order = np.argsort(-counts.astype(np.int64), axis=1, kind="stable")
+    n_present = (counts > 0).sum(axis=1)
+    ranked = np.where(np.arange(4)[None, :] < n_present[:, None],
+                      order, -1).astype(np.int8)
+    srt = np.sort(counts, axis=1)
+    tied = ((srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] > 0)).any(axis=1)
+    for s in np.flatnonzero(tied):
+        idx = np.flatnonzero(counts[s] > 0)
+        by_freq = idx[np.argsort(counts[s][idx])[::-1]]
+        ranked[s, :len(by_freq)] = by_freq
+        ranked[s, len(by_freq):] = -1
+    return ranked

@@ -141,6 +141,25 @@ def simulate_vcf(path: Path, n_samples=6, seed=19,
     return samples
 
 
+def simulate_ref_fasta(path: Path, seed=51,
+                       scaffolds=(("scaf1", 300_000), ("scaf2", 140_000))):
+    """Reference fasta (+.fai) covering the simulated scaffolds."""
+    rng = np.random.default_rng(seed)
+    fai = []
+    with gzip.open(path, "wt") if str(path).endswith(".gz") else open(path, "wt") as f:
+        offset = 0
+        for scaf, length in scaffolds:
+            f.write(f">{scaf}\n")
+            offset += len(scaf) + 2
+            seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, length)])
+            for i in range(0, length, 60):
+                f.write(seq[i:i + 60] + "\n")
+            n_lines = -(-length // 60)
+            fai.append(f"{scaf}\t{length}\t{offset}\t60\t61")
+            offset += length + n_lines
+    Path(str(path) + ".fai").write_text("\n".join(fai) + "\n")
+
+
 def main():
     DATA.mkdir(exist_ok=True)
     simulate_geno(DATA / "sim1.geno.gz", seed=42)
@@ -154,6 +173,7 @@ def main():
         wc.append(f"scaf2\t{a}\t{a + 39_999}\twin_s2_{a}")
     (DATA / "sim1.windCoords.txt").write_text("\n".join(wc) + "\n")
     simulate_vcf(DATA / "sim1.vcf.gz", seed=19)
+    simulate_ref_fasta(DATA / "sim_ref.fa")
     print("fixtures written to", DATA)
 
 

@@ -148,4 +148,9 @@ python "$REF/mergeGeno.py" -i $D/sim1.geno.gz -i $D/sim_hap.geno.gz -f $D/sim.fa
 python "$REF/mergeGeno.py" -i $D/sim1.geno.gz -i $D/sim_hap.geno.gz -f $D/sim.fai --method union --unionMin 1 --mustIncludeFirst 1 --missing NN -o $G/merge_union.geno 2>/dev/null
 python "$REF/mergeGeno.py" -i $D/sim1.geno.gz -i $D/sim_hap.geno.gz -f $D/sim_small.fai --method all --outputOnly 2 -o $G/merge_all.geno 2>/dev/null
 
+echo "== genoToVCF =="
+PYTHONPATH="$REF" python "$REF/VCF_processing/genoToVCF.py" -g $D/sim1.geno.gz -f phased -o $G/g2v_basic.vcf 2>/dev/null
+PYTHONPATH="$REF" python "$REF/VCF_processing/genoToVCF.py" -g $D/sim1.geno.gz -f phased -r $D/sim_ref.fa -s pop1_ind1,pop2_ind1,pop3_ind1 -o $G/g2v_ref.vcf 2>/dev/null
+PYTHONPATH="$REF" python "$REF/VCF_processing/genoToVCF.py" -g $D/sim_diplo.geno.gz -f diplo -o $G/g2v_diplo.vcf 2>/dev/null
+
 echo "done."
