@@ -1,0 +1,214 @@
+"""Multi-VCF -> geno conversion with positional merging.
+
+Mirror of /root/reference/VCF_processing/parseVCFs.py: walks each scaffold
+(from --fai or the first VCF's ##contig headers) position by position and
+merges sites across input VCFs with all/union/intersect methods, filling
+per-sample "N/N"-style missing genotypes for absent files
+(parseVCFs.py:37-89, 292-305).
+
+Differences (all of them fixes for reference defects, noted per item):
+
+* region extraction does not shell out to ``tabix``; inputs are streamed
+  once in sorted order (the reference re-extracts every 100 kb chunk per
+  file, parseVCFs.py:27-46).  Positions with no data are skipped directly
+  for union/intersect instead of iterating every genome position.
+* a site that fails --minQual, or a duplicated position, advances the
+  stream; in the reference the stalled head blocks all later sites of that
+  file's chunk (parseVCFs.py:66-79), silently dropping them.
+* --maxREFlen and --field crash the reference here (undefined ``vcfSite``,
+  parseVCFs.py:69-71); both work in this implementation.
+
+Single-file ``--method union`` output is byte-identical to reference
+``parseVCF.py --excludeDuplicates`` output (see tests/test_parse_vcfs.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from collections import defaultdict
+
+from ..io import vcf as V
+from ..io.geno import open_maybe_gz
+from ..io.writers import open_out
+from .parse_vcf import add_args, parse_include_exclude
+
+INF = float("inf")
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="parseVCFs")
+    add_args(parser)
+    parser.add_argument("-i", "--inFile", action="append", required=True)
+    parser.add_argument("-f", "--fai", action="store")
+    parser.add_argument("-M", "--method", action="store",
+                        choices=("all", "intersect", "union"),
+                        default="union")
+    parser.add_argument("-t", "--threads", type=int, action="store",
+                        default=1)
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--windSize", type=int, action="store",
+                        default=100000)
+    parser.add_argument("--test", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.expandMulti:
+        raise ValueError("Option --expandMulti is not currently suppoted by "
+                         "this multi-threaded script. Use parseVCF.py instead\n")
+    if args.addRefTrack:
+        raise ValueError("Option --addRefTrack is not currently suppoted by "
+                         "this multi-threaded script. Use parseVCF.py instead\n")
+
+    include, exclude = parse_include_exclude(args)
+    gt_filters = [V.parse_genotype_filter_arg(g) for g in args.gtf] \
+        if args.gtf else []
+
+    head_data = [V.get_head_data(f) for f in args.inFile]
+    samples_per_file = [h["sampleNames"] for h in head_data]
+    if args.samples:
+        requested = args.samples.split(",")
+        all_samples = [s for ss in samples_per_file for s in ss]
+        for s in requested:
+            assert s in all_samples, f"Sample {s} not in VCF header\n"
+        samples_per_file = [[s for s in ss if s in requested]
+                            for ss in samples_per_file]
+
+    ploidy_dict = defaultdict(lambda: args.ploidy)
+    if args.ploidyFile:
+        with open(args.ploidyFile, "rt") as pf:
+            ploidy_dict.update({s[0]: int(s[1])
+                                for s in (l.split() for l in pf)})
+
+    if args.field:
+        missing = args.missing if args.missing else "."
+        all_missing = [[missing] * len(ss) for ss in samples_per_file]
+    else:
+        missing = args.missing if args.missing else "N"
+        all_missing = [["/".join([missing] * ploidy_dict[s]) for s in ss]
+                       for ss in samples_per_file]
+
+    out = open_out(args.outFile)
+    if args.fai:
+        with open(args.fai, "rt") as fai:
+            scaf_lens = [(s, int(l)) for s, l in
+                         (ln.split()[:2] for ln in fai if ln.strip())]
+        scafs = [x[0] for x in scaf_lens]
+        scaf_lens = dict(scaf_lens)
+    else:
+        scafs = head_data[0]["contigs"]
+        scaf_lens = head_data[0]["contigLengths"]
+
+    n = len(args.inFile)
+    streams = [open_maybe_gz(f, "rt") for f in args.inFile]
+    for st in streams:
+        V.parse_header_lines(st)     # skip to data
+    gens = [V.parse_vcf_sites(streams[x], head_data[x]["mainHeaders"],
+                              excludeDuplicates=args.excludeDuplicates,
+                              simplifyALT=args.simplifyALT)
+            for x in range(n)]
+    heads: list = []
+    for g in gens:
+        try:
+            heads.append(next(g))
+        except StopIteration:
+            heads.append(None)
+
+    def advance(x):
+        try:
+            heads[x] = next(gens[x])
+        except StopIteration:
+            heads[x] = None
+
+    out.write(args.outSep.join(
+        ["#CHROM", "POS"] + [s for ss in samples_per_file for s in ss]) + "\n")
+
+    max_windows = 10 if args.test else None
+    windows_done = 0
+    finished_scafs: set[str] = set()
+
+    def drop_stale(x, scaf, pos):
+        """Advance past consumed scaffolds and already-walked positions so a
+        stale head never blocks the stream (the reference's stalled-head bug,
+        parseVCFs.py:66-79)."""
+        h = heads[x]
+        while h is not None and (h.CHROM in finished_scafs or
+                                 (h.CHROM == scaf and h.POS < pos)):
+            advance(x)
+            h = heads[x]
+
+    for scaf in scafs:
+        if (exclude and scaf in exclude) or (include and scaf not in include):
+            continue
+        length = scaf_lens.get(scaf)
+        if length is None:
+            length = INF if args.method != "all" else 0
+        if max_windows is not None:
+            remaining = max_windows - windows_done
+            if remaining <= 0:
+                break
+            length = min(length, remaining * args.windSize)
+            windows_done += -(-length // args.windSize)
+        pos = 1
+        while pos <= length:
+            if args.method != "all":
+                nxt = INF
+                for x in range(n):
+                    drop_stale(x, scaf, pos)
+                    h = heads[x]
+                    if h is not None and h.CHROM == scaf and h.POS < nxt:
+                        nxt = h.POS
+                if nxt == INF or nxt > length:
+                    break
+                pos = nxt
+            else:
+                for x in range(n):
+                    drop_stale(x, scaf, pos)
+            files_represented = 0
+            out_objects = [scaf, str(pos)]
+            for x in range(n):
+                h = heads[x]
+                present = False
+                if h is not None and h.CHROM == scaf and h.POS == pos:
+                    present = True
+                    if args.minQual and V.can_float(h.QUAL) and \
+                            float(h.QUAL) < args.minQual:
+                        present = False
+                    if present and args.maxREFlen and \
+                            len(h.REF) > args.maxREFlen:
+                        present = False
+                    if args.field:
+                        output = h.getGenoField(args.field,
+                                                samples=samples_per_file[x],
+                                                missing=missing)
+                    else:
+                        output = h.getGenotypes(
+                            gt_filters, asList=True, withPhase=True,
+                            samples=samples_per_file[x], missing=missing,
+                            mustMatchREFlen=args.skipIndels,
+                            keepPartial=args.keepPartial,
+                            ploidyDict=ploidy_dict,
+                            ploidyMismatchToMissing=args.ploidyMismatchToMissing)
+                    if not present:
+                        output = all_missing[x]
+                    else:
+                        files_represented += 1
+                    advance(x)
+                else:
+                    output = all_missing[x]
+                out_objects += output
+            if args.method == "all" or \
+                    (args.method == "union" and files_represented >= 1) or \
+                    (args.method == "intersect" and files_represented == n):
+                out.write(args.outSep.join(out_objects) + "\n")
+            pos += 1
+        finished_scafs.add(scaf)
+
+    for st in streams:
+        st.close()
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

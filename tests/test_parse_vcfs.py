@@ -1,0 +1,85 @@
+"""Tests for parse_vcfs (multi-VCF positional merge).
+
+The reference parseVCFs.py requires the external ``tabix`` binary (absent
+in this environment), so: the single-file case is differentially tested
+against reference-parseVCF goldens (union over one file == parseVCF with
+--excludeDuplicates), and the multi-file merge is checked against an
+independent in-test oracle built from the per-file goldens.
+"""
+
+import gzip
+from pathlib import Path
+
+from .util import assert_text_equal, run_cli
+
+D = Path(__file__).parent / "data"
+G = Path(__file__).parent / "golden"
+
+
+def _read_geno(path):
+    rows = {}
+    with open(path) as f:
+        header = f.readline().rstrip("\n").split("\t")
+        for line in f:
+            p = line.rstrip("\n").split("\t")
+            rows[(p[0], int(p[1]))] = p[2:]
+    return header[2:], rows
+
+
+def test_single_file_union_matches_parse_vcf_dedup(tmp_path):
+    ref = str(tmp_path / "ref.geno")
+    run_cli("genomics_general_tpu.cli.parse_vcf",
+            ["-i", str(D / "sim1.vcf.gz"), "--excludeDuplicates", "-o", ref])
+    out = str(tmp_path / "o.geno")
+    run_cli("genomics_general_tpu.cli.parse_vcfs",
+            ["-i", str(D / "sim1.vcf.gz"), "-M", "union", "-o", out])
+    assert_text_equal(ref, out)
+
+
+def test_two_file_union_oracle(tmp_path):
+    a = str(tmp_path / "a.geno")
+    b = str(tmp_path / "b.geno")
+    run_cli("genomics_general_tpu.cli.parse_vcf",
+            ["-i", str(D / "sim1.vcf.gz"), "--excludeDuplicates", "-o", a])
+    run_cli("genomics_general_tpu.cli.parse_vcf",
+            ["-i", str(D / "sim2.vcf.gz"), "--excludeDuplicates", "-o", b])
+    out = str(tmp_path / "o.geno")
+    run_cli("genomics_general_tpu.cli.parse_vcfs",
+            ["-i", str(D / "sim1.vcf.gz"), "-i", str(D / "sim2.vcf.gz"),
+             "-M", "union", "-o", out])
+
+    names_a, rows_a = _read_geno(a)
+    names_b, rows_b = _read_geno(b)
+    miss_a = ["N/N"] * len(names_a)
+    miss_b = ["N/N"] * len(names_b)
+    keys = sorted(set(rows_a) | set(rows_b),
+                  key=lambda k: (["chr1", "chr2"].index(k[0]), k[1]))
+    want = ["#CHROM\tPOS\t" + "\t".join(names_a + names_b)]
+    for k in keys:
+        want.append("\t".join([k[0], str(k[1])] +
+                              rows_a.get(k, miss_a) + rows_b.get(k, miss_b)))
+    got = Path(out).read_text().rstrip("\n").split("\n")
+    assert got == want
+
+
+def test_two_file_intersect_oracle(tmp_path):
+    a = str(tmp_path / "a.geno")
+    b = str(tmp_path / "b.geno")
+    run_cli("genomics_general_tpu.cli.parse_vcf",
+            ["-i", str(D / "sim1.vcf.gz"), "--excludeDuplicates", "-o", a])
+    run_cli("genomics_general_tpu.cli.parse_vcf",
+            ["-i", str(D / "sim2.vcf.gz"), "--excludeDuplicates", "-o", b])
+    out = str(tmp_path / "o.geno")
+    run_cli("genomics_general_tpu.cli.parse_vcfs",
+            ["-i", str(D / "sim1.vcf.gz"), "-i", str(D / "sim2.vcf.gz"),
+             "-M", "intersect", "-o", out])
+    names_a, rows_a = _read_geno(a)
+    names_b, rows_b = _read_geno(b)
+    keys = sorted(set(rows_a) & set(rows_b),
+                  key=lambda k: (["chr1", "chr2"].index(k[0]), k[1]))
+    got = Path(out).read_text().rstrip("\n").split("\n")
+    assert len(got) == len(keys) + 1
+    for line, k in zip(got[1:], keys):
+        p = line.split("\t")
+        assert (p[0], int(p[1])) == k
+        assert p[2:] == rows_a[k] + rows_b[k]
