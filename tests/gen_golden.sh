@@ -153,4 +153,8 @@ PYTHONPATH="$REF" python "$REF/VCF_processing/genoToVCF.py" -g $D/sim1.geno.gz -
 PYTHONPATH="$REF" python "$REF/VCF_processing/genoToVCF.py" -g $D/sim1.geno.gz -f phased -r $D/sim_ref.fa -s pop1_ind1,pop2_ind1,pop3_ind1 -o $G/g2v_ref.vcf 2>/dev/null
 PYTHONPATH="$REF" python "$REF/VCF_processing/genoToVCF.py" -g $D/sim_diplo.geno.gz -f diplo -o $G/g2v_diplo.vcf 2>/dev/null
 
+echo "== liftover tools =="
+python "$REF/tools/transferScafPos.py" -i $G/freq_derived.tsv -t $D/sim.transfers.txt --header --keepFails -f $G/transfer_freq.fails.tsv -o $G/transfer_freq.tsv 2>/dev/null
+python "$REF/tools/fastaTransfer.py" -i $D/sim_ref.fa -t $D/sim.transfers.txt -o $G/transfer_ref.fa 2>/dev/null
+
 echo "done."
