@@ -197,9 +197,16 @@ def main(argv=None) -> int:
                         sd.ploidy[s] = (w + 1) // 2 if fmt == "phased" else \
                             (2 if fmt == "diplo" else w)
                     break
-            reader = geno_io.rebind_reader(probe, sd)
-            if reader._whole is None:
-                # streamed input: the peeked blob was consumed — re-feed it
+            if reader._whole is not None:
+                # whole-buffer (gz) input: restart the parse from the
+                # probe's offset; nothing was physically consumed
+                reader = geno_io.rebind_reader(probe, sd)
+            else:
+                # streamed input: rebind from the PEEKED reader (its
+                # _tail/_eof reflect the consumed bytes — the probe's stale
+                # _tail would re-parse the blob twice) and re-feed the blob
+                peeked = reader
+                reader = geno_io.rebind_reader(peeked, sd)
                 first_chunk = reader.parse_chunk(blob)
 
     chunks = ([first_chunk] if first_chunk is not None else []) \

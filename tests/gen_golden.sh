@@ -157,4 +157,9 @@ echo "== liftover tools =="
 python "$REF/tools/transferScafPos.py" -i $G/freq_derived.tsv -t $D/sim.transfers.txt --header --keepFails -f $G/transfer_freq.fails.tsv -o $G/transfer_freq.tsv 2>/dev/null
 python "$REF/tools/fastaTransfer.py" -i $D/sim_ref.fa -t $D/sim.transfers.txt -o $G/transfer_ref.fa 2>/dev/null
 
+echo "== PLINK / Eigenstrat converters =="
+python "$REF/tools/genoToPlink.py" -g $D/sim1.geno.gz -f phased --prefix $G/plink_sim1 --makeFAM 2>/dev/null
+PYTHONPATH="$REF" python "$REF/tools/genoToEigenstrat.py" -g $D/sim1.geno.gz -f phased --genoOutFile $G/eig_sim1.geno --snpOutFile $G/eig_sim1.snp --indOutFile $G/eig_sim1.ind --chromFile $D/sim.chroms.txt 2>/dev/null >/dev/null
+PYTHONPATH="$REF" python "$REF/tools/genoToEigenstrat.py" -g $D/sim1.geno.gz -f phased -s pop1_ind1,pop2_ind1,pop3_ind1 --genoOutFile $G/eig_cum.geno --snpOutFile $G/eig_cum.snp --indOutFile $G/eig_cum.ind --chromFile $D/sim.chroms_id.txt --cumulativePos 2>/dev/null >/dev/null
+
 echo "done."
