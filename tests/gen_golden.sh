@@ -162,4 +162,8 @@ python "$REF/tools/genoToPlink.py" -g $D/sim1.geno.gz -f phased --prefix $G/plin
 PYTHONPATH="$REF" python "$REF/tools/genoToEigenstrat.py" -g $D/sim1.geno.gz -f phased --genoOutFile $G/eig_sim1.geno --snpOutFile $G/eig_sim1.snp --indOutFile $G/eig_sim1.ind --chromFile $D/sim.chroms.txt 2>/dev/null >/dev/null
 PYTHONPATH="$REF" python "$REF/tools/genoToEigenstrat.py" -g $D/sim1.geno.gz -f phased -s pop1_ind1,pop2_ind1,pop3_ind1 --genoOutFile $G/eig_cum.geno --snpOutFile $G/eig_cum.snp --indOutFile $G/eig_cum.ind --chromFile $D/sim.chroms_id.txt --cumulativePos 2>/dev/null >/dev/null
 
+echo "== mafToGeno =="
+python "$REF/tools/mafToGeno.py" -m $D/sim1.maf --ref hg.chr1 --seqNames hg.chr1 pan.chr3 gor.chr2 pon.chr5 --minSeqsRequired 4 -g $G/maf_all.geno 2>/dev/null
+python "$REF/tools/mafToGeno.py" -m $D/sim1.maf --ref hg.chr1 --seqNames hg.chr1 pan.chr3 gor.chr2 --renameSeqsAs hg pan gor --renameChromAs chr1 --lowercaseToN --minSize 25 -g $G/maf_sub.geno 2>/dev/null
+
 echo "done."
