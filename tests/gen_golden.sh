@@ -166,4 +166,15 @@ echo "== mafToGeno =="
 python "$REF/tools/mafToGeno.py" -m $D/sim1.maf --ref hg.chr1 --seqNames hg.chr1 pan.chr3 gor.chr2 pon.chr5 --minSeqsRequired 4 -g $G/maf_all.geno 2>/dev/null
 python "$REF/tools/mafToGeno.py" -m $D/sim1.maf --ref hg.chr1 --seqNames hg.chr1 pan.chr3 gor.chr2 --renameSeqsAs hg pan gor --renameChromAs chr1 --lowercaseToN --minSize 25 -g $G/maf_sub.geno 2>/dev/null
 
+echo "== CDS tools + parseVCFs (fake tabix on PATH) =="
+export PATH="$(pwd)/bin:$PATH"
+PYTHONPATH="$REF" python "$REF/codingSiteTypes.py" -a $D/sim.gff3 -f gff3 -r $D/sim_ref.fa -o $G/cst_basic.tsv --ignoreConflicts 2>/dev/null
+PYTHONPATH="$REF" python "$REF/codingSiteTypes.py" -a $D/sim.gff3 -f gff3 -r $D/sim_ref.fa -v $D/sim_scaf.vcf.gz -o $G/cst_vcf.tsv --ignoreConflicts 2>/dev/null
+PYTHONPATH="$REF" python "$REF/codingSiteTypes.py" -a $D/sim.gtf -f gtf -r $D/sim_ref.fa -o $G/cst_gtf.tsv --noheader 2>/dev/null
+PYTHONPATH="$REF" python "$REF/extractCDSAlignments.py" --annotation $D/sim.gff3 -g $D/sim1.geno.gz -o $G/cds_aln.phy 2>/dev/null
+PYTHONPATH="$REF" python "$REF/extractCDSAlignments.py" --annotation $D/sim.gff3 -g $D/sim1.geno.gz --no-split --outFormat fasta --includeCoordinates -o $G/cds_aln_nosplit.fa 2>/dev/null
+PYTHONPATH="$REF" python "$REF/extractCDSAlignments.py" --annotation $D/sim.gff3 -g $D/sim1.geno.gz -t mRNA03 mRNA08 -o $G/cds_aln_targets.phy 2>/dev/null
+PYTHONPATH="$REF/VCF_processing" timeout 300 python "$REF/VCF_processing/parseVCFs.py" -i $D/sim1.vcf.gz -i $D/sim2.vcf.gz -M union --excludeDuplicates -t 1 -o $G/vcfs_union.geno 2>/dev/null
+PYTHONPATH="$REF/VCF_processing" timeout 300 python "$REF/VCF_processing/parseVCFs.py" -i $D/sim1.vcf.gz -i $D/sim2.vcf.gz -M intersect --excludeDuplicates -t 1 -o $G/vcfs_intersect.geno 2>/dev/null
+
 echo "done."
