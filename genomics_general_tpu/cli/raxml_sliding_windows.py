@@ -1,0 +1,174 @@
+"""Sliding-window ML trees via RAxML (+ built-in NJ backend).
+
+Mirror of /root/reference/phylo/raxml_sliding_windows.py (which is
+Python-2-only there; ``print >>`` statements make it unrunnable under
+Python 3): per window an alignment is built from split haplotypes,
+filtered on minSites / minPerInd / minSNPs, and RAxML is invoked with the
+reference's command line (raxml_sliding_windows.py:18-42); outputs are
+``<prefix>.data.tsv`` and ``<prefix>.trees.gz``.
+
+``--raxml builtin-nj`` uses the dependency-free neighbor-joining backend
+instead of an external binary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+from ..io import geno as geno_io
+from ..io.writers import make_aln_string
+from ..samples import SampleData
+from ..stats.nj import jukes_cantor, neighbor_joining
+from . import common
+from .phyml_sliding_windows import codes_to_rows, nj_window_tree
+
+
+def rax_tree(seqs, names, model, raxml, outgroup=None, prefix="",
+             tmp_dir=".", test=False, log="/dev/null"):
+    tmp = tempfile.NamedTemporaryFile(mode="w", prefix=prefix, suffix=".phy",
+                                      dir=tmp_dir, delete=False)
+    local = tmp.name.rsplit("/", 1)[1]
+    with tmp as t:
+        t.write(make_aln_string(names, seqs, out_format="phylip"))
+    og = " -o " + ",".join(outgroup) if outgroup else ""
+    cmd = (raxml + " -s " + tmp.name + " -n " + local + " -m " + model + og +
+           " -V -f d -p 12345 --silent >>" + log)
+    if test:
+        sys.stderr.write("raxml command:\n" + cmd + "\n")
+    subprocess.call(cmd, shell=True, cwd=tmp_dir)
+    try:
+        with open(os.path.join(tmp_dir, "RAxML_bestTree." + local),
+                  "rt") as f:
+            tree = f.readline()
+    except OSError:
+        tree = "NA\n"
+    if not test:
+        for f in (f for f in os.listdir(tmp_dir) if local in f):
+            os.remove(os.path.join(tmp_dir, f))
+    return tree
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="raxml_sliding_windows")
+    p.add_argument("--windType", action="store",
+                   choices=("sites", "coordinate"), default="coordinate")
+    p.add_argument("-w", "--windSize", type=int, action="store",
+                   required=True)
+    p.add_argument("-M", "--minSites", type=int, action="store")
+    p.add_argument("-Mi", "--minPerInd", type=int, action="store")
+    p.add_argument("-Ms", "--minSNPs", type=int, action="store")
+    p.add_argument("-S", "--stepSize", type=int, action="store")
+    p.add_argument("-O", "--overlap", type=int, action="store")
+    p.add_argument("-D", "--maxDist", type=int, action="store")
+    p.add_argument("-g", "--genoFile")
+    p.add_argument("-p", "--prefix", required=True)
+    p.add_argument("--exclude", required=False)
+    p.add_argument("--include", required=False)
+    p.add_argument("--individuals", action="store")
+    p.add_argument("--outgroup", action="store")
+    p.add_argument("--raxml", action="store", default="raxml",
+                   help="path to raxml, or 'builtin-nj'")
+    p.add_argument("--njCorrect", action="store_true")
+    p.add_argument("--model", action="store", default="GTRCAT")
+    p.add_argument("--log", action="store", default="/dev/null")
+    p.add_argument("--tmp", action="store")
+    p.add_argument("-T", "--threads", type=int, default=1)
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    wind = {"windType": args.windType}
+    if args.windType == "coordinate":
+        wind.update(windSize=args.windSize,
+                    stepSize=args.stepSize or args.windSize)
+    else:
+        wind.update(windSize=args.windSize, overlap=args.overlap or 0,
+                    maxDist=args.maxDist or np.inf)
+    min_sites = args.minSites or args.windSize
+    wind["minSites"] = min_sites
+    min_per_ind = args.minPerInd if args.minPerInd else min_sites
+    outgroup = args.outgroup.split(",") if args.outgroup else []
+
+    src = args.genoFile if args.genoFile else sys.stdin
+    probe = geno_io.GenoReader(src, geno_format="phased")
+    names = args.individuals.split(",") if args.individuals \
+        else list(probe.file_ind_names)
+    sd = SampleData(ind_names=names, ploidy={n: 2 for n in names})
+    reader = geno_io.rebind_reader(probe, sd)
+    data = reader.read_all()
+    from .. import windows as W
+    keep = W.filter_scaffolds(
+        data.scaffold_ids, data.scaffold_names,
+        include=common.read_scaffold_list(args.include),
+        exclude=common.read_scaffold_list(args.exclude))
+    if not keep.all():
+        data.alleles = data.alleles[:, keep]
+        data.positions = data.positions[keep]
+        data.scaffold_ids = data.scaffold_ids[keep]
+    plan = common.build_plan(wind, data.scaffold_ids, data.positions,
+                             data.scaffold_names)
+    mids = plan.mid(data.positions)
+    model = data.model
+    hap_names = model.row_names
+    non_out_rows = np.array([i for i, s in enumerate(model.row_sample)
+                             if s not in outgroup], dtype=np.int64)
+
+    data_file = open(args.prefix + ".data.tsv", "wt")
+    data_file.write("\t".join(["scaffold", "start", "end", "mid",
+                               "sites"]) + "\n")
+    trees_file = gzip.open(args.prefix + ".trees.gz", "wt")
+    use_builtin = args.raxml == "builtin-nj"
+    tmp_dir = args.tmp or "."
+
+    for w in range(plan.n_windows):
+        f, l = int(plan.first[w]), int(plan.last[w])
+        n_sites = l - f
+        scaf = data.scaffold_names[int(plan.scaffold_id[w])]
+        if wind["windType"] == "coordinate":
+            start, end = int(plan.start[w]), int(plan.end[w])
+        else:
+            start, end = int(data.positions[f]), int(data.positions[l - 1])
+        mid = "nan" if np.isnan(mids[w]) else str(int(mids[w]))
+        tree = "NA\n"
+        if n_sites >= min_sites:
+            aln = data.alleles[:, f:l]
+            sites_per_ind = (aln >= 0).sum(axis=1)
+            ok = sites_per_ind.min() >= min_per_ind
+            if ok and args.minSNPs is not None:
+                sub = aln[non_out_rows]
+                var = 0
+                for s in range(n_sites):
+                    col = sub[:, s]
+                    col = col[col >= 0]
+                    if col.size and (col != col[0]).any():
+                        var += 1
+                ok = var >= args.minSNPs
+            if ok:
+                if use_builtin:
+                    tree = nj_window_tree(aln, hap_names,
+                                          correct=args.njCorrect) + "\n"
+                else:
+                    prefix = f"{scaf}_{start}_{end}_"
+                    tree = rax_tree(codes_to_rows(aln), hap_names,
+                                    args.model, args.raxml,
+                                    outgroup or None, prefix,
+                                    tmp_dir=tmp_dir, test=args.test,
+                                    log=args.log)
+        data_file.write("\t".join([scaf, str(start), str(end), mid,
+                                   str(n_sites)]) + "\n")
+        trees_file.write(tree if tree.endswith("\n") else tree + "\n")
+
+    data_file.close()
+    trees_file.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,102 @@
+"""Tests for the phylo layer: built-in NJ, LD stats, maxLDphase, and the
+phyml/raxml sliding-window CLIs with the builtin-nj backend."""
+
+import gzip
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from .util import REPO, run_cli
+
+D = Path(__file__).parent / "data"
+
+
+def test_nj_recovers_additive_tree():
+    """NJ must exactly reconstruct distances from an additive tree:
+    ((A:2,B:3):1,(C:4,D:5));"""
+    from genomics_general_tpu.stats.nj import neighbor_joining
+    #      A   B   C   D
+    dist = np.array([[0, 5, 7, 8],
+                     [5, 0, 8, 9],
+                     [7, 8, 0, 9],
+                     [8, 9, 9, 0]], float)
+    tree = neighbor_joining(dist, ["A", "B", "C", "D"])
+    # A and B must be joined first with branch lengths 2 and 3
+    assert "(A:2.0,B:3.0)" in tree or "(B:3.0,A:2.0)" in tree
+    assert tree.endswith(";")
+
+
+def test_ld_pair_matches_reference():
+    sys.path.insert(0, "/root/reference")
+    try:
+        import importlib
+        genomics = importlib.import_module("genomics")
+    finally:
+        sys.path.pop(0)
+    from genomics_general_tpu.stats.ld import ld_pair
+    rng = np.random.default_rng(5)
+    for _ in range(60):
+        a = rng.choice([0, 1, 2, -999], size=30, p=[.4, .4, .1, .1])
+        b = rng.choice([0, 3, -999], size=30, p=[.5, .4, .1])
+        ref = genomics.LD(a, b)
+        mine = ld_pair(np.where(a == -999, -1, a), np.where(b == -999, -1, b))
+        for k in ("D", "Dprime", "r", "r2"):
+            if np.isnan(ref[k]):
+                assert np.isnan(mine[k]), k
+            else:
+                assert abs(ref[k] - mine[k]) < 1e-12, k
+
+
+def test_max_ld_phase_matches_reference():
+    sys.path.insert(0, "/root/reference")
+    try:
+        import importlib
+        genomics = importlib.import_module("genomics")
+    finally:
+        sys.path.pop(0)
+    from genomics_general_tpu.stats.ld import max_ld_phase
+    rng = np.random.default_rng(11)
+    H, S = 8, 12
+    # biallelic sites only (the reference asserts this)
+    arr = rng.choice([0, 1], size=(H, S)).astype(np.int64)
+    arr[rng.random((H, S)) < 0.1] = -999
+    names = [f"i{k // 2}" for k in range(H)]
+    aln = genomics.Alignment(numArray=arr.copy(), names=[f"i{k//2}_{'AB'[k%2]}" for k in range(H)],
+                             sampleNames=names)
+    ref_aln = genomics.maxLDphase(aln)
+    mine = max_ld_phase(np.where(arr == -999, -1, arr).astype(np.int8),
+                        names)
+    ref_num = np.where(ref_aln.numArray == -999, -1, ref_aln.numArray)
+    np.testing.assert_array_equal(ref_num.astype(np.int8), mine)
+
+
+def test_phyml_sliding_windows_builtin_nj(tmp_path):
+    prefix = str(tmp_path / "out")
+    run_cli("genomics_general_tpu.cli.phyml_sliding_windows",
+            ["-g", str(D / "sim1.geno.gz"), "-p", prefix,
+             "-w", "50000", "-M", "100", "--phyml", "builtin-nj",
+             "--njCorrect", "--seed", "1"])
+    data = Path(prefix + ".data.tsv").read_text().rstrip("\n").split("\n")
+    assert data[0] == "\t".join(
+        ["scaffold", "start", "end", "mid", "sites", "lnL"])
+    trees = gzip.open(prefix + ".trees.gz", "rt").read().rstrip("\n").split("\n")
+    assert len(trees) == len(data) - 1
+    good = [t for t in trees if t != "NA"]
+    assert good, "no trees produced"
+    for t in good:
+        assert t.endswith(";") and t.count("(") == t.count(")")
+        assert "pop1_ind1_A" in t
+
+
+def test_raxml_sliding_windows_builtin_nj(tmp_path):
+    prefix = str(tmp_path / "rx")
+    run_cli("genomics_general_tpu.cli.raxml_sliding_windows",
+            ["-g", str(D / "sim1.geno.gz"), "-p", prefix,
+             "-w", "50000", "-M", "100", "--raxml", "builtin-nj"])
+    data = Path(prefix + ".data.tsv").read_text().rstrip("\n").split("\n")
+    trees = gzip.open(prefix + ".trees.gz", "rt").read().rstrip("\n").split("\n")
+    assert len(trees) == len(data) - 1
+    assert any(t != "NA" for t in trees)
