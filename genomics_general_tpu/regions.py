@@ -32,6 +32,31 @@ def parse_region_text(region_text: str):
         return (seq_name, None, None, ori)
 
 
+def parse_region_list(region_list):
+    """parseRegionText's tabular twin (genomics.py:2339-2351).
+
+    ``region_list`` is a whitespace-split line: NAME [FROM [TO [ORI]]].
+    Coordinates given in reverse order flip the orientation to ``-``.
+    """
+    seq_name = region_list[0]
+    if len(region_list) < 4:
+        ori = "+"
+    else:
+        ori = region_list[3]
+    if ori not in "+-":
+        raise ValueError("Orientation must be + or -")
+    try:
+        from_to = [int(x) for x in region_list[1:3]]
+        if len(from_to) == 1:
+            from_to.append(None)
+        if from_to[1] is not None and from_to[0] > from_to[1]:
+            from_to = from_to[::-1]
+            ori = "-"
+        return (seq_name, from_to[0], from_to[1], ori)
+    except (IndexError, ValueError):
+        return (seq_name, None, None, ori)
+
+
 class Intervals:
     def __init__(self, regions=None, tuples=None, chroms=None, starts=None,
                  ends=None):

@@ -177,4 +177,11 @@ PYTHONPATH="$REF" python "$REF/extractCDSAlignments.py" --annotation $D/sim.gff3
 PYTHONPATH="$REF/VCF_processing" timeout 300 python "$REF/VCF_processing/parseVCFs.py" -i $D/sim1.vcf.gz -i $D/sim2.vcf.gz -M union --excludeDuplicates -t 1 -o $G/vcfs_union.geno 2>/dev/null
 PYTHONPATH="$REF/VCF_processing" timeout 300 python "$REF/VCF_processing/parseVCFs.py" -i $D/sim1.vcf.gz -i $D/sim2.vcf.gz -M intersect --excludeDuplicates -t 1 -o $G/vcfs_intersect.geno 2>/dev/null
 
+echo "== sequence.py (fasta/phylip region extraction) =="
+printf 'scaf2\t100\t160\nscaf1\t300\t250\t+\n' > $D/sim.regions.txt
+python "$REF/sequence.py" -r scaf1:101-200 'scaf2:50-10' --extendLeft 5 --extendRight 5 < $D/sim_ref.fa > $G/seq_regions.fa 2>/dev/null
+python "$REF/sequence.py" -P -f $D/sim.regions.txt --preserveNames -l 60 < $D/sim_ref.fa > $G/seq_regfile.phy 2>/dev/null
+python "$REF/sequence.py" -P -l 0 < $D/sim_ref.fa > $D/sim_single.phy 2>/dev/null
+python "$REF/sequence.py" -p -r scaf2:1-100:- --truncateNames < $D/sim_single.phy > $G/seq_phy2fa.fa 2>/dev/null
+
 echo "done."
