@@ -186,17 +186,15 @@ def main(argv=None) -> int:
     if not ploidy:
         blob = reader._read_chunk_lines()
         if blob is not None:
-            head = blob.tobytes() if isinstance(blob, np.ndarray) else blob
-            for ln in head.split(b"\n"):
-                if ln and not ln.startswith(b"#"):
-                    gts = ln.split()[2:]
-                    widths = {n: len(gts[k]) for k, n in enumerate(all_samples)}
-                    fmt = args.inputGenoFormat
-                    for s in samples:
-                        w = widths[s]
-                        sd.ploidy[s] = (w + 1) // 2 if fmt == "phased" else \
-                            (2 if fmt == "diplo" else w)
-                    break
+            ln = geno_io.first_data_line(blob)
+            if ln is not None:
+                gts = ln.split()[2:]
+                widths = {n: len(gts[k]) for k, n in enumerate(all_samples)}
+                fmt = args.inputGenoFormat
+                for s in samples:
+                    w = widths[s]
+                    sd.ploidy[s] = (w + 1) // 2 if fmt == "phased" else \
+                        (2 if fmt == "diplo" else w)
             if reader._whole is not None:
                 # whole-buffer (gz) input: restart the parse from the
                 # probe's offset; nothing was physically consumed

@@ -74,6 +74,36 @@ class GenoData:
         return self.positions.shape[0]
 
 
+def first_data_line(blob) -> bytes | None:
+    """First non-comment, non-empty line of a blob (bytes or uint8 array)
+    WITHOUT splitting/copying the whole buffer — chunks can be hundreds of
+    MB and only the head is needed to establish the genotype-block layout."""
+    is_arr = isinstance(blob, np.ndarray)
+    n = blob.size if is_arr else len(blob)
+    pos = 0
+    while pos < n:
+        if is_arr:
+            end = -1
+            scan, step = pos, 1 << 16
+            while scan < n:
+                seg = blob[scan:scan + step]
+                hits = np.flatnonzero(seg == ord("\n"))
+                if hits.size:
+                    end = scan + int(hits[0])
+                    break
+                scan += seg.size
+                step *= 4
+        else:
+            end = blob.find(b"\n", pos)
+        if end < 0:
+            end = n
+        if end > pos and blob[pos] != (ord("#") if is_arr else b"#"[0]):
+            line = blob[pos:end]
+            return line.tobytes() if is_arr else line
+        pos = end + 1
+    return None
+
+
 class GenoReader:
     """Chunked reader producing numeric haplotype matrices.
 
@@ -235,11 +265,9 @@ class GenoReader:
         """Parse a blob of complete lines into a GenoChunk."""
         if self._field_widths is None:
             # find first non-comment line to establish layout
-            head = blob.tobytes() if isinstance(blob, np.ndarray) else blob
-            for ln in head.split(b"\n"):
-                if ln and not ln.startswith(b"#"):
-                    self._establish_layout(ln)
-                    break
+            ln = first_data_line(blob)
+            if ln is not None:
+                self._establish_layout(ln)
             if self._field_widths is None:
                 return None
         if not self._native_failed:

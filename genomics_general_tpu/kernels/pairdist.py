@@ -97,8 +97,13 @@ def _gathered_pair_counts(alleles: jnp.ndarray, first: jnp.ndarray,
                           n_sites: jnp.ndarray, s_max: int):
     wa, valid = gather_window_batch(alleles, first, n_sites, s_max)
     m, s = pairwise_counts(wa, valid)
-    # stacked so the host needs a single fetch per batch (remote-link latency)
-    return jnp.stack([m, s])
+    # One flat fetch per batch: device->host links have high fixed latency,
+    # and flat 1-D buffers avoid on-device relayout of tiled [B,H,H] arrays.
+    # Counts are bounded by s_max, so uint16 halves the transfer when windows
+    # fit (they always do for bucketed window batches; cat-mode long spans go
+    # through long_span_pair_counts instead).
+    out = jnp.stack([m, s]).reshape(-1)
+    return out.astype(jnp.uint16) if s_max < (1 << 16) else out
 
 
 def window_pair_counts(alleles_dev: jnp.ndarray, first: np.ndarray,
@@ -131,16 +136,21 @@ def window_pair_counts(alleles_dev: jnp.ndarray, first: np.ndarray,
             j += 1
         sel = order[i:j]
         b = sel.size
-        f = np.zeros(batch_size, dtype=np.int32)
-        ns = np.zeros(batch_size, dtype=np.int32)
+        # pad the batch to a power of two (not to batch_size): bounds compile
+        # count to log2(batch_size) variants while keeping transfers ~b-sized
+        bsz = 8
+        while bsz < b:
+            bsz *= 2
+        f = np.zeros(bsz, dtype=np.int32)
+        ns = np.zeros(bsz, dtype=np.int32)
         f[:b] = first[sel]
         ns[:b] = n_sites[sel]
         ms = _gathered_pair_counts(alleles_dev, jnp.asarray(f),
                                    jnp.asarray(ns), s_max)
-        pending.append((sel, b, ms))
+        pending.append((sel, b, bsz, ms))
         i = j
-    for sel, b, ms in pending:
-        host = np.asarray(ms)
+    for sel, b, bsz, ms in pending:
+        host = np.asarray(ms).astype(np.int32, copy=False).reshape(2, bsz, H, H)
         mism[sel] = host[0, :b]
         shar[sel] = host[1, :b]
     return mism, shar
