@@ -106,8 +106,8 @@ def main(argv=None) -> int:
     mid = plan.mid(data.positions)
     n_ind = len(samples)
 
-    import jax.numpy as jnp
-    alleles_dev = jnp.asarray(data.alleles)
+    from ..kernels.transfer import device_alleles
+    alleles_dev = device_alleles(data.alleles)
     if wind["windType"] == "cat":
         m0, s0 = pair_k.long_span_pair_counts(alleles_dev, 0, data.n_sites)
         mism, shar = m0[None], s0[None]

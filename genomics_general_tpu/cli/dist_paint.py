@@ -127,8 +127,8 @@ def main(argv=None) -> int:
     out.write("\t".join(head) + "\t")
     out.write("\t".join(all_inds) + "\n")
 
-    import jax.numpy as jnp
-    alleles_dev = jnp.asarray(data.alleles)
+    from ..kernels.transfer import device_alleles
+    alleles_dev = device_alleles(data.alleles)
     mism, shar = pair_k.window_pair_counts(
         alleles_dev, plan.first.astype(np.int32), sites.astype(np.int32))
     mism = np.asarray(mism)

@@ -115,8 +115,8 @@ def main(argv=None) -> int:
     need_dist = any(a in analysis for a in
                     ("popDist", "popPairDist", "indPairDist", "indHet", "hapStats"))
     if need_dist and n_windows:
-        import jax.numpy as jnp
-        alleles_dev = jnp.asarray(data.alleles)
+        from ..kernels.transfer import device_alleles
+        alleles_dev = device_alleles(data.alleles)
         mism, shar = pair_k.window_pair_counts(
             alleles_dev, plan.first.astype(np.int32), sites.astype(np.int32))
         ctx = popgen.DistStatsContext(mism, shar)

@@ -26,6 +26,10 @@ import numpy as np
 def pack_alleles(alleles: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
     """Pack int8 [H, S] (values -1..3) into (codes, miss, S) planes."""
     H, S = alleles.shape
+    # contract: only {-1, 0..3} survive the 2-bit pack; anything else (e.g. a
+    # stray parser poison value) would silently alias to a valid allele
+    assert alleles.min(initial=0) >= -1 and alleles.max(initial=-1) <= 3, \
+        "pack_alleles requires codes in {-1, 0..3}"
     s4 = -(-S // 4) * 4
     codes = np.ascontiguousarray(alleles).view(np.uint8) & 3
     if s4 != S:

@@ -110,7 +110,7 @@ def sharded_global_sfs(alleles: np.ndarray, pop_mask: np.ndarray,
     Returns a dense [n_hap[0]+1, ..., n_hap[P-1]+1] spectrum counting sites
     with complete data in every pop (minor-allele targets).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = mesh.devices.size
     H, S = alleles.shape
