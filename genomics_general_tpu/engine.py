@@ -1,0 +1,346 @@
+"""Streaming window engine: chunked parse -> incremental plan -> flush.
+
+Replaces the ``read_all()`` + whole-genome device upload pattern with the
+reference's O(window) streaming model (/root/reference/genomics.py:1971-2223
+generators; freq.py:23-27 fileSlicer), re-designed for a TPU pipeline:
+
+* a **prefetch thread** runs the chunked parser so host parsing overlaps
+  device compute (the TPU analog of the reference's producer process,
+  popgenWindows.py:386-421),
+* an :class:`~genomics_general_tpu.windows.IncrementalPlanner` turns parsed
+  sites into *certainly complete* windows as soon as the read frontier
+  passes them,
+* a rolling site buffer (host, and optionally a device mirror) holds only
+  the sites still needed by pending/future windows — peak memory is
+  O(flush batch), not O(genome),
+* batches are yielded in window order, so output ordering is deterministic
+  by construction (no sorter thread needed),
+* per-batch progress counters and a resume cursor hang off the same loop.
+
+Every CLI that processes windows drives this one generator; the per-batch
+device compute (pair counts, allele counts) stays CLI-specific.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import sys
+import threading
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import windows as W
+
+
+# --------------------------------------------------------------- prefetch
+
+def _prefetched(iterable, depth: int = 2):
+    """Run ``iterable`` in a daemon thread, yielding items from a bounded
+    queue — parse of chunk k+1 overlaps compute on chunk k."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - re-raised on main thread
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+# --------------------------------------------------------------- progress
+
+class Progress:
+    """Periodic stderr counters, the analog of the reference's ``checkStats``
+    thread (popgenWindows.py:161-164) without the thread: counters print at
+    most every ``interval`` seconds from the flush loop."""
+
+    def __init__(self, verbose: bool = False, interval: float = 10.0,
+                 stream=None):
+        self.verbose = verbose
+        self.interval = interval
+        self.stream = stream or sys.stderr
+        self.sites = 0
+        self.windows = 0
+        self.rows = 0
+        self.t0 = time.perf_counter()
+        self._last = self.t0
+
+    def update(self, sites: int = 0, windows: int = 0, rows: int = 0):
+        self.sites += sites
+        self.windows += windows
+        self.rows += rows
+        now = time.perf_counter()
+        if self.verbose and now - self._last >= self.interval:
+            self._last = now
+            self._line(now)
+
+    def _line(self, now: float):
+        dt = max(now - self.t0, 1e-9)
+        self.stream.write(
+            f"[progress] sites: {self.sites:,} | windows: {self.windows:,} | "
+            f"rows written: {self.rows:,} | {self.sites / dt:,.0f} sites/s\n")
+
+    def close(self):
+        if self.verbose:
+            self._line(time.perf_counter())
+
+
+class StageTimer:
+    """Accumulating per-stage wall-clock timers (parse / h2d / kernel /
+    finalize / write).  Enabled by ``--profile``; reported on stderr."""
+
+    def __init__(self, enabled: bool = False):
+        self.enabled = enabled
+        self.t: dict[str, float] = {}
+
+    class _Ctx:
+        def __init__(self, timer, name):
+            self.timer, self.name = timer, name
+
+        def __enter__(self):
+            self.t0 = time.perf_counter()
+
+        def __exit__(self, *exc):
+            self.timer.t[self.name] = (self.timer.t.get(self.name, 0.0)
+                                       + time.perf_counter() - self.t0)
+
+    def stage(self, name: str):
+        return self._Ctx(self, name)
+
+    def report(self, stream=None, extra: str = ""):
+        if not self.enabled or not self.t:
+            return
+        stream = stream or sys.stderr
+        total = sum(self.t.values())
+        parts = " | ".join(f"{k}: {v:.3f}s ({100 * v / total:.0f}%)"
+                           for k, v in sorted(self.t.items(),
+                                              key=lambda kv: -kv[1]))
+        stream.write(f"[profile] {parts} | total {total:.3f}s{extra}\n")
+
+
+# ----------------------------------------------------------------- cursor
+
+class Cursor:
+    """Per-(output, config) resume cursor: windows processed + byte offset.
+
+    SURVEY §5 checkpoint/resume: the reference restarts from scratch (users
+    split jobs by scaffold); here a kill-and-resume continues at the last
+    flushed batch and produces byte-identical output.  Plain-text outputs
+    only (a gzip stream cannot be truncated to a flush boundary and remain
+    well-formed)."""
+
+    def __init__(self, out_path: str, config_key: str):
+        self.path = out_path + ".cursor"
+        self.config_key = config_key
+
+    def load(self) -> dict | None:
+        try:
+            with open(self.path) as f:
+                st = json.load(f)
+        except (OSError, ValueError):
+            return None
+        if st.get("config") != self.config_key:
+            return None
+        return st
+
+    def save(self, windows_done: int, bytes_done: int):
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"config": self.config_key, "windows_done": windows_done,
+                       "bytes_done": bytes_done}, f)
+        os.replace(tmp, self.path)
+
+    def clear(self):
+        try:
+            os.remove(self.path)
+        except OSError:
+            pass
+
+
+# ------------------------------------------------------------------ batches
+
+@dataclass
+class StreamBatch:
+    """One flush of completed windows over the current rolling buffer.
+
+    ``plan.first/last`` index the *buffer* arrays below (not the genome)."""
+
+    plan: W.WindowPlan
+    alleles: np.ndarray            # int8 [H, B]
+    positions: np.ndarray          # int64 [B]
+    scaffold_ids: np.ndarray       # int32 [B]
+    scaffold_names: list[str]      # live reader list (grows as scaffolds appear)
+    window_offset: int             # windows emitted before this batch
+    dev_alleles: object = None     # int8 device array mirroring `alleles`
+    needed_end: int = 0            # buffer sites referenced by this batch
+
+
+def _concat_plans(pieces: list[W.WindowPlan], wind_type: str) -> W.WindowPlan:
+    if len(pieces) == 1:
+        return pieces[0]
+    plan = W.WindowPlan(
+        np.concatenate([p.scaffold_id for p in pieces]),
+        np.concatenate([p.start for p in pieces]),
+        np.concatenate([p.end for p in pieces]),
+        np.concatenate([p.first for p in pieces]),
+        np.concatenate([p.last for p in pieces]),
+        wind_type)
+    plan.ids = [i for p in pieces for i in p.ids]
+    return plan
+
+
+def stream_windows(reader, wind: dict, include=None, exclude=None,
+                   device: bool = False, mesh=None,
+                   min_flush_windows: int = 192,
+                   max_buffer_sites: int = 4 << 20,
+                   progress: Progress | None = None,
+                   timer: StageTimer | None = None,
+                   prefetch_depth: int = 2):
+    """Yield :class:`StreamBatch` objects in window order.
+
+    Parameters
+    ----------
+    reader : io.geno.GenoReader (positioned after the header)
+    wind : resolved window params (cli.common.resolve_window_args)
+    device : maintain a device mirror of the rolling buffer (uploaded once
+        per chunk, trimmed with the host buffer) — ``batch.dev_alleles``.
+    mesh : optional jax Mesh; the device mirror is replicated over it.
+    min_flush_windows : batch flushes when this many windows are complete
+        (or at EOF / when the buffer exceeds ``max_buffer_sites``).
+    """
+    timer = timer or StageTimer(False)
+    planner = W.IncrementalPlanner(wind, reader.scaffold_names)
+    inc = set(include) if include is not None else None
+    exc = set(exclude) if exclude is not None else None
+
+    H = reader.model.n_rows
+    buf_alleles = np.empty((H, 0), dtype=np.int8)
+    buf_pos = np.empty(0, dtype=np.int64)
+    buf_sids = np.empty(0, dtype=np.int32)
+    dev_buf = None
+    window_offset = 0
+    pending: list[W.WindowPlan] = []
+    pending_windows = 0
+    # virtual trim point: sites before `consumed` are already planned past,
+    # but stay in the buffer until the pending windows that reference them
+    # are flushed (plan pieces hold buffer-relative spans)
+    consumed = 0
+
+    if device:
+        import jax
+        import jax.numpy as jnp
+        from .kernels.transfer import device_alleles
+        repl = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = NamedSharding(mesh, PartitionSpec())
+
+    def chunks():
+        with timer.stage("parse"):
+            it = iter(reader.iter_chunks())
+        while True:
+            with timer.stage("parse"):
+                try:
+                    c = next(it)
+                except StopIteration:
+                    return
+            yield c
+
+    chunk_iter = _prefetched(chunks(), depth=prefetch_depth) \
+        if prefetch_depth else chunks()
+
+    def filter_chunk(chunk):
+        if inc is None and exc is None:
+            return chunk.alleles, chunk.positions, chunk.scaffold_ids
+        names = reader.scaffold_names
+        keep = np.ones(chunk.positions.shape[0], dtype=bool)
+        sid_ok = np.array([(inc is None or n in inc)
+                           and (exc is None or n not in exc)
+                           for n in names])
+        keep &= sid_ok[chunk.scaffold_ids]
+        if keep.all():
+            return chunk.alleles, chunk.positions, chunk.scaffold_ids
+        return (chunk.alleles[:, keep], chunk.positions[keep],
+                chunk.scaffold_ids[keep])
+
+    def make_batch() -> StreamBatch:
+        nonlocal pending, pending_windows, window_offset
+        plan = (_concat_plans(pending, planner.wt) if pending
+                else W.IncrementalPlanner._empty(planner.wt))
+        needed = int(plan.last.max()) if plan.n_windows else 0
+        batch = StreamBatch(plan=plan, alleles=buf_alleles,
+                            positions=buf_pos, scaffold_ids=buf_sids,
+                            scaffold_names=reader.scaffold_names,
+                            window_offset=window_offset,
+                            dev_alleles=dev_buf, needed_end=needed)
+        if progress:
+            progress.update(windows=plan.n_windows)
+        window_offset += plan.n_windows
+        pending = []
+        pending_windows = 0
+        return batch
+
+    def trim():
+        nonlocal buf_alleles, buf_pos, buf_sids, dev_buf, consumed
+        if consumed > 0:
+            buf_alleles = buf_alleles[:, consumed:]
+            buf_pos = buf_pos[consumed:]
+            buf_sids = buf_sids[consumed:]
+            if dev_buf is not None:
+                dev_buf = dev_buf[:, consumed:]
+            consumed = 0
+
+    def plan_step(final: bool):
+        nonlocal pending, pending_windows, consumed
+        piece, keep = planner.plan(buf_sids[consumed:], buf_pos[consumed:],
+                                   final)
+        if piece.n_windows:
+            piece.first += consumed
+            piece.last += consumed
+            pending.append(piece)
+            pending_windows += piece.n_windows
+        consumed += int(keep)
+
+    for chunk in chunk_iter:
+        a, p, s = filter_chunk(chunk)
+        if p.size == 0:
+            continue
+        buf_alleles = np.concatenate([buf_alleles, a], axis=1) \
+            if buf_pos.size else a
+        buf_pos = np.concatenate([buf_pos, p]) if buf_pos.size else p
+        buf_sids = np.concatenate([buf_sids, s]) if buf_sids.size else s
+        if device:
+            with timer.stage("h2d"):
+                new_dev = device_alleles(np.ascontiguousarray(a), repl)
+                dev_buf = new_dev if dev_buf is None \
+                    else jnp.concatenate([dev_buf, new_dev], axis=1)
+        if progress:
+            progress.update(sites=p.size)
+        # plan over the new sites; flush when enough windows are ready
+        plan_step(final=False)
+        if (pending_windows >= min_flush_windows
+                or buf_pos.size > max_buffer_sites):
+            yield make_batch()
+            trim()
+
+    # EOF: finalize trailing windows (and, for predefined plans, rows for
+    # scaffolds absent from the data)
+    plan_step(final=True)
+    if pending_windows or window_offset == 0:
+        yield make_batch()

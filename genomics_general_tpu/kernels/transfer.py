@@ -1,22 +1,27 @@
-"""Bit-packed host->device transfer of allele matrices.
+"""Host->device upload of allele matrices (raw or bit-packed).
 
-The allele matrix is int8 [H, S] with values in {-1, 0, 1, 2, 3} — 8x more
-bits on the wire than information content.  Host->device bandwidth (PCIe on
-real TPU hosts; far worse over tunneled links) is the dominant cost of the
-whole pipeline once parsing is vectorized, so we ship two packed planes and
-unpack on device with a few vector ops:
+The allele matrix is int8 [H, S] with values in {-1, 0, 1, 2, 3}.  Two upload
+strategies:
 
-  * ``codes``: 2-bit allele codes, 4 sites/byte  (uint8 [H, ceil(S/4)])
-  * ``miss`` : 1-bit missing mask, 8 sites/byte  (uint8 [H, ceil(S/8)])
+* **raw** (default): one ``jax.device_put`` of the int8 matrix.  Measured on
+  the target TPU host the wire runs at >1 GB/s, so a 2M-site x 40-haplotype
+  matrix (80 MB) uploads in ~60 ms — while the *host-side* packing pass below
+  costs 350-1200 ms.  Raw wins decisively whenever wire bandwidth exceeds a
+  few hundred MB/s.
+* **packed** (opt-in via ``GGT_PACKED_TRANSFER=1``): two bit-planes, 2.67x
+  fewer wire bytes, unpacked on device with shift/compare ops.  Only pays on
+  genuinely slow links (remote tunnels, congested PCIe):
 
-2.67x fewer bytes than raw int8.  Unpacking is a handful of shift/compare
-ops fused by XLA — negligible next to the matmul kernels that consume the
-result.  All kernels keep operating on the plain int8 [H, S] device array.
+    - ``codes``: 2-bit allele codes, 4 sites/byte  (uint8 [H, ceil(S/4)])
+    - ``miss`` : 1-bit missing mask, 8 sites/byte  (uint8 [H, ceil(S/8)])
+
+All kernels keep operating on the plain int8 [H, S] device array either way.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -54,11 +59,17 @@ def _unpack(codes: jnp.ndarray, miss: jnp.ndarray, s: int) -> jnp.ndarray:
     return jnp.where(m == 1, jnp.int8(-1), c)
 
 
-def device_alleles(alleles: np.ndarray) -> jnp.ndarray:
-    """Upload an int8 [H, S] allele matrix as packed planes and return the
-    unpacked int8 device array.  Drop-in for ``jnp.asarray(alleles)``."""
+def device_alleles(alleles: np.ndarray, sharding=None) -> jnp.ndarray:
+    """Upload an int8 [H, S] allele matrix and return the int8 device array.
+
+    Raw ``device_put`` by default (fastest on measured hardware — see module
+    docstring); set ``GGT_PACKED_TRANSFER=1`` to ship 2-bit + 1-bit planes
+    instead (2.67x fewer wire bytes for slow links).  ``sharding`` optionally
+    places the array (e.g. replicated over a mesh).
+    """
     H, S = alleles.shape
-    if S == 0 or H == 0:
-        return jnp.asarray(alleles)
+    if S == 0 or H == 0 or os.environ.get("GGT_PACKED_TRANSFER") != "1":
+        return jax.device_put(alleles, sharding)
     codes, miss, s = pack_alleles(alleles)
-    return _unpack(jnp.asarray(codes), jnp.asarray(miss), s)
+    out = _unpack(jax.device_put(codes), jax.device_put(miss), s)
+    return jax.device_put(out, sharding) if sharding is not None else out

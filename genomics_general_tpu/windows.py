@@ -153,7 +153,11 @@ def plan_sites_windows(scaffold_ids: np.ndarray, positions: np.ndarray,
                     lasts.append(s0 + j)
                     if at_end:
                         break
-                    i = j - overlap  # trim(leave=overlap), genomics.py:2072
+                    # trim(leave=overlap), genomics.py:2072; a negative
+                    # remove keeps the whole window (genomics.py:1781-1784),
+                    # where the reference generator would re-emit the same
+                    # window forever — we advance one site instead
+                    i = j - overlap if (j - i) > overlap else i + 1
                 else:
                     if at_end:
                         break
@@ -164,7 +168,7 @@ def plan_sites_windows(scaffold_ids: np.ndarray, positions: np.ndarray,
                     scafs.append(sid)
                     firsts.append(s0 + i)
                     lasts.append(s0 + j)
-                    i = j - overlap
+                    i = j - overlap if (j - i) > overlap else i + 1
                 else:
                     i += 1
     firsts = np.array(firsts, dtype=np.int64)
@@ -217,6 +221,261 @@ def plan_cat_window(scaffold_ids: np.ndarray, positions: np.ndarray) -> WindowPl
                       np.array([0], np.int64), np.array([n], np.int64), "cat")
     plan.ids = [1]
     return plan
+
+
+class IncrementalPlanner:
+    """Streaming window planner over a rolling site buffer.
+
+    The engine appends parsed chunks to rolling (scaffold_ids, positions)
+    buffers and calls :meth:`plan`; the planner returns a :class:`WindowPlan`
+    piece covering every window that is *certainly complete* given the data
+    seen so far, plus ``keep_from`` — the buffer index of the first site
+    still needed by future windows (everything before it may be dropped).
+
+    Window semantics are identical to the batch planners above (and hence to
+    the reference generators, /root/reference/genomics.py:1971-2223); the
+    streaming/batch equivalence is asserted in tests/test_streaming.py.
+    first/last in the returned plan pieces are *buffer-relative*.
+
+    Safety rules for emitting a window before EOF (input is position-sorted
+    within scaffolds, like the reference requires):
+
+    * coordinate: window ``[1+k*step, windSize+k*step]`` is complete once a
+      site with a strictly greater position (or a later scaffold) is seen.
+    * sites: the greedy loop is strictly left-to-right; a window is complete
+      when it reached ``windSites`` sites or its maxDist cap was established
+      by a site *inside* the buffer; only the trailing partial window needs
+      the scaffold end.
+    * predefined: a row is decidable once its scaffold's data is complete
+      (or at EOF, for scaffolds absent from the data); rows are emitted in
+      file order, so an undecidable row blocks later ones (they stay queued).
+    """
+
+    def __init__(self, wind: dict, scaffold_names: list[str]):
+        self.wind = wind
+        self.wt = wind["windType"]
+        self.scaffold_names = scaffold_names   # live list owned by the reader
+        self.next_id = 1                       # global 1-based window numbering
+        # coordinate-window state: current scaffold + next window index k
+        # (_next_k is None once a scaffold is finalized)
+        self._cur_sid: int | None = None
+        self._next_k: int | None = 0
+        self._last_pos: int | None = None
+        # predefined-window state
+        self._rows = list(wind.get("windCoords") or [])
+        self._row_cursor = 0
+        self._done_sids: set[int] = set()
+        self._frontier_sid: int | None = None
+
+    # -------------------------------------------------------------- public
+
+    def plan(self, scaffold_ids: np.ndarray, positions: np.ndarray,
+             final: bool) -> tuple[WindowPlan, int]:
+        """Plan over the current buffer; returns (plan_piece, keep_from)."""
+        if self.wt == "coordinate":
+            piece, keep = self._plan_coordinate(scaffold_ids, positions, final)
+        elif self.wt == "sites":
+            piece, keep = self._plan_sites(scaffold_ids, positions, final)
+        elif self.wt == "predefined":
+            piece, keep = self._plan_predefined(scaffold_ids, positions, final)
+        else:
+            raise ValueError(f"streaming not supported for windType {self.wt!r}")
+        if self.wt != "predefined":
+            piece.ids = list(range(self.next_id, self.next_id + piece.n_windows))
+        self.next_id += piece.n_windows
+        return piece, keep
+
+    # ------------------------------------------------------------- helpers
+
+    @staticmethod
+    def _empty(wt: str) -> WindowPlan:
+        z = np.empty(0, np.int64)
+        return WindowPlan(np.empty(0, np.int32), z, z, z, z, wt, [])
+
+    def _plan_coordinate(self, sids, pos, final):
+        wsize = self.wind["windSize"]
+        step = self.wind["stepSize"]
+        scafs, starts, ends, firsts, lasts = [], [], [], [], []
+        keep_from = pos.shape[0]
+        spans = _scaffold_spans(sids)
+
+        # events: (sid, buffer span or None, scaffold_final).  A None span
+        # finalizes a scaffold whose buffered sites were already trimmed
+        # (possible when step > windSize leaves trailing gap sites, or when a
+        # scaffold ends exactly at a trim point) — its trailing windows are
+        # derived from the remembered last position.
+        events = []
+        if self._cur_sid is not None and \
+                (not spans or spans[0][0] != self._cur_sid) and \
+                self._next_k is not None:
+            events.append((self._cur_sid, None, True))
+        for idx, (sid, s0, s1) in enumerate(spans):
+            events.append((sid, (s0, s1), final or idx < len(spans) - 1))
+
+        for sid, span, scaffold_final in events:
+            if sid != self._cur_sid:
+                self._cur_sid = sid
+                self._next_k = 0
+                self._last_pos = None
+            if self._next_k is None:           # scaffold already finalized
+                continue
+            if span is not None:
+                s0, s1 = span
+                p = pos[s0:s1]
+                p_last = int(p[-1])
+                self._last_pos = p_last
+            else:
+                s0 = s1 = 0
+                p = pos[:0]
+                p_last = self._last_pos
+            if scaffold_final:
+                # batch rule: K = max(0, ceil((p_last - wsize) / step))
+                K = max(0, -(-(p_last - wsize) // step))
+            else:
+                # only windows with end < p_last are certainly complete
+                K = (p_last - wsize - 1) // step
+            if K >= self._next_k:
+                k = np.arange(self._next_k, K + 1, dtype=np.int64)
+                w_start = 1 + k * step
+                w_end = wsize + k * step
+                scafs.append(np.full(k.size, sid, dtype=np.int32))
+                starts.append(w_start)
+                ends.append(w_end)
+                firsts.append(np.searchsorted(p, w_start, side="left") + s0)
+                lasts.append(np.searchsorted(p, w_end, side="right") + s0)
+                self._next_k = K + 1
+            if scaffold_final:
+                self._next_k = None            # nothing more for this scaffold
+            else:
+                next_start = 1 + self._next_k * step
+                keep_from = s0 + int(np.searchsorted(p, next_start, side="left"))
+        if not scafs:
+            return self._empty("coordinate"), keep_from
+        piece = WindowPlan(np.concatenate(scafs), np.concatenate(starts),
+                           np.concatenate(ends), np.concatenate(firsts),
+                           np.concatenate(lasts), "coordinate")
+        return piece, keep_from
+
+    def _plan_sites(self, sids, pos, final):
+        wsites = self.wind["windSize"]
+        overlap = self.wind["overlap"]
+        max_dist = self.wind["maxDist"]
+        min_sites = self.wind["minSites"] or wsites
+        scafs, firsts, lasts = [], [], []
+        keep_from = pos.shape[0]
+        spans = _scaffold_spans(sids)
+        for idx, (sid, s0, s1) in enumerate(spans):
+            p = pos[s0:s1]
+            m = s1 - s0
+            last_span = idx == len(spans) - 1
+            scaffold_final = final or not last_span
+            i = 0
+            while i < m:
+                if np.isinf(max_dist):
+                    j = min(i + wsites, m)
+                else:
+                    j_cap = int(np.searchsorted(p, p[i] + max_dist, side="right"))
+                    j = min(i + wsites, j_cap)
+                full = (j - i) == wsites
+                if j == m and not full and not scaffold_final:
+                    break                      # trailing window needs more data
+                at_end = j == m and scaffold_final   # true scaffold end
+                if full or at_end:
+                    if (j - i) >= min_sites:
+                        scafs.append(sid)
+                        firsts.append(s0 + i)
+                        lasts.append(s0 + j)
+                        if at_end:
+                            i = m
+                            break
+                        # trim(leave=overlap); degenerate windows (<= overlap
+                        # sites) advance one site — see plan_sites_windows
+                        i = j - overlap if (j - i) > overlap else i + 1
+                    else:
+                        if at_end:
+                            i = m
+                            break
+                        i += 1                 # trim(remove=1), genomics.py:2091
+                else:
+                    # window capped by maxDist before filling (cap is inside
+                    # the buffer, so the decision is final)
+                    if (j - i) >= min_sites:
+                        scafs.append(sid)
+                        firsts.append(s0 + i)
+                        lasts.append(s0 + j)
+                        i = j - overlap if (j - i) > overlap else i + 1
+                    else:
+                        i += 1
+            if last_span and not final:
+                keep_from = s0 + i
+        firsts = np.array(firsts, dtype=np.int64)
+        lasts = np.array(lasts, dtype=np.int64)
+        start = pos[firsts] if firsts.size else np.empty(0, np.int64)
+        end = pos[lasts - 1] if lasts.size else np.empty(0, np.int64)
+        piece = WindowPlan(np.array(scafs, np.int32), np.asarray(start, np.int64),
+                           np.asarray(end, np.int64), firsts, lasts, "sites")
+        return piece, keep_from
+
+    def _plan_predefined(self, sids, pos, final):
+        name_to_id = {n: i for i, n in enumerate(self.scaffold_names)}
+        spans = _scaffold_spans(sids)
+        span_by_sid = {sid: (s0, s1) for sid, s0, s1 in spans}
+        # scaffolds fully behind the read frontier
+        for k, (sid, _, _) in enumerate(spans):
+            if final or k < len(spans) - 1:
+                self._done_sids.add(sid)
+        frontier_sid = spans[-1][0] if spans else self._frontier_sid
+        if (self._frontier_sid is not None
+                and frontier_sid != self._frontier_sid):
+            # the previous frontier scaffold's sites were fully trimmed
+            self._done_sids.add(self._frontier_sid)
+        self._frontier_sid = frontier_sid
+        frontier_pos = int(pos[-1]) if pos.shape[0] else None
+
+        scafs, starts, ends, firsts, lasts, ids = [], [], [], [], [], []
+        while self._row_cursor < len(self._rows):
+            row = self._rows[self._row_cursor]
+            scaf, a, b = row[0], int(row[1]), int(row[2])
+            sid = name_to_id.get(scaf, -1)
+            if sid < 0 or sid not in span_by_sid:
+                if sid >= 0 and sid in self._done_sids:
+                    pass        # scaffold seen+trimmed earlier: empty span
+                elif not final:
+                    break       # not decidable yet: blocks later rows
+            else:
+                decidable = (sid in self._done_sids
+                             or (sid == frontier_sid and frontier_pos > b)
+                             or final)
+                if not decidable:
+                    break
+            ids.append(row[3] if len(row) > 3 else "NA")
+            scafs.append(sid)
+            starts.append(a)
+            ends.append(b)
+            if sid in span_by_sid:
+                s0, s1 = span_by_sid[sid]
+                p = pos[s0:s1]
+                firsts.append(s0 + int(np.searchsorted(p, a, side="left")))
+                lasts.append(s0 + int(np.searchsorted(p, b, side="right")))
+            else:
+                firsts.append(0)
+                lasts.append(0)
+            self._row_cursor += 1
+
+        # first site still needed by any pending row whose scaffold is buffered
+        keep_from = pos.shape[0]
+        for row in self._rows[self._row_cursor:]:
+            sid = name_to_id.get(row[0], -1)
+            if sid in span_by_sid:
+                s0, s1 = span_by_sid[sid]
+                p = pos[s0:s1]
+                keep_from = min(keep_from,
+                                s0 + int(np.searchsorted(p, int(row[1]), "left")))
+        piece = WindowPlan(np.array(scafs, np.int32),
+                           np.array(starts, np.int64), np.array(ends, np.int64),
+                           np.array(firsts, np.int64), np.array(lasts, np.int64),
+                           "predefined", ids)
+        return piece, keep_from
 
 
 def plan_nonoverlapping_sites_windows(scaffold_ids: np.ndarray,
