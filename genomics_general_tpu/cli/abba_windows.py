@@ -14,7 +14,7 @@ import sys
 
 import numpy as np
 
-from .. import windows as W
+from .. import engine
 from ..io import geno as geno_io
 from ..io import writers
 from ..kernels import counts as counts_k
@@ -49,6 +49,7 @@ def build_parser(full_panel: bool) -> argparse.ArgumentParser:
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--addWindowID", action="store_true")
     p.add_argument("--writeFailedWindows", action="store_true")
+    common.add_runtime_args(p)
     return p
 
 
@@ -70,20 +71,7 @@ def main(argv=None, full_panel: bool = False) -> int:
     reader = geno_io.GenoReader(args.genoFile if args.genoFile else sys.stdin,
                                 sample_data=sd, geno_format=args.genoFormat,
                                 header=args.header)
-    data = reader.read_all()
-    keep = W.filter_scaffolds(data.scaffold_ids, data.scaffold_names,
-                              include=common.read_scaffold_list(args.include),
-                              exclude=common.read_scaffold_list(args.exclude))
-    if not keep.all():
-        data.alleles = data.alleles[:, keep]
-        data.positions = data.positions[keep]
-        data.scaffold_ids = data.scaffold_ids[keep]
-
-    plan = common.build_plan(wind, data.scaffold_ids, data.positions,
-                             data.scaffold_names)
-    model = data.model
-    sites = plan.n_sites
-    mid = plan.mid(data.positions)
+    model = reader.model
 
     # device: counts for P1..P4 and their union in one dispatch
     pop_rows = [model.pop_row_indices[p] for p in pop_names]
@@ -93,9 +81,6 @@ def main(argv=None, full_panel: bool = False) -> int:
         mask[k, rows] = 1.0
     mask[4, union_rows] = 1.0
     n_pops = [rows.size for rows in pop_rows]
-    counts = counts_k.site_pop_counts_chunked(data.alleles, mask)  # [S,5,4]
-    counts_pops = [counts[:, k, :] for k in range(4)]
-    counts_union = counts[:, 4, :]
 
     if full_panel:
         stats = ["ABBA", "BABA", "ABAA", "BAAA", 'D', 'fd', "fd'", 'fdm',
@@ -106,44 +91,82 @@ def main(argv=None, full_panel: bool = False) -> int:
         stats = ["ABBA", "BABA", "D", "fd", "fdM"]
         polarize, fixed = True, False
 
-    out = writers.open_out(args.outFile)
     head = "scaffold,start,end,mid,sites,sitesUsed," + ",".join(stats)
     if args.addWindowID:
         head = "windowID," + head
-    out.write(head + "\n")
+    out, skip_windows, cursor = common.open_resumable_out(args, head + "\n")
 
-    for w in range(plan.n_windows):
-        n_sites_w = int(sites[w])
-        sites_used: object = np.nan
-        if n_sites_w >= min_sites:
-            f, l = int(plan.first[w]), int(plan.last[w])
-            res = abbababa.window_four_pop_panel(
-                [c[f:l] for c in counts_pops], counts_union[f:l],
-                n_pops, min_data, polarize, fixed, full_panel)
-            sites_used = res["sitesUsed"]
-            if sites_used >= min_sites:
-                is_good = True
-                values = [writers.fmt_float(res[s], 4) for s in stats]
-            else:
-                is_good = False
-                values = ["nan"] * len(stats)
-        else:
-            is_good = False
-            values = ["nan"] * len(stats)
-        if not (is_good or args.writeFailedWindows):
+    mesh = common.get_mesh()
+    timer = engine.StageTimer(args.profile)
+    progress = engine.Progress(args.verbose)
+
+    for batch in engine.stream_windows(
+            reader, wind,
+            include=common.read_scaffold_list(args.include),
+            exclude=common.read_scaffold_list(args.exclude),
+            device=True, mesh=mesh, progress=progress, timer=timer):
+        plan = batch.plan
+        n_w = plan.n_windows
+        if n_w == 0:
             continue
-        row = []
-        if args.addWindowID:
-            row.append(str(plan.ids[w]))
-        row += [data.scaffold_names[plan.scaffold_id[w]]
-                if plan.scaffold_id[w] >= 0 else "None",
-                str(int(plan.start[w])), str(int(plan.end[w])),
-                writers.fmt_int_or_nan(mid[w]), str(n_sites_w),
-                str(sites_used) if sites_used == sites_used else "nan"]
-        row += values
-        out.write(",".join(row) + "\n")
+        if batch.window_offset + n_w <= skip_windows:
+            continue
+        sites = plan.n_sites
+        mid = plan.mid(batch.positions)
+        needed = batch.needed_end
+        with timer.stage("kernel"):
+            counts = counts_k.site_pop_counts_chunked(
+                batch.dev_alleles[:, :needed] if batch.dev_alleles is not None
+                else batch.alleles[:, :needed], mask, mesh=mesh)   # [S,5,4]
+        counts_pops = [counts[:, k, :] for k in range(4)]
+        counts_union = counts[:, 4, :]
+
+        with timer.stage("finalize"):
+            rows_written = 0
+            for w in range(n_w):
+                if batch.window_offset + w < skip_windows:
+                    continue
+                n_sites_w = int(sites[w])
+                sites_used: object = np.nan
+                if n_sites_w >= min_sites:
+                    f, l = int(plan.first[w]), int(plan.last[w])
+                    res = abbababa.window_four_pop_panel(
+                        [c[f:l] for c in counts_pops], counts_union[f:l],
+                        n_pops, min_data, polarize, fixed, full_panel)
+                    sites_used = res["sitesUsed"]
+                    if sites_used >= min_sites:
+                        is_good = True
+                        values = [writers.fmt_float(res[s], 4) for s in stats]
+                    else:
+                        is_good = False
+                        values = ["nan"] * len(stats)
+                else:
+                    is_good = False
+                    values = ["nan"] * len(stats)
+                if not (is_good or args.writeFailedWindows):
+                    continue
+                row = []
+                if args.addWindowID:
+                    row.append(str(plan.ids[w]))
+                row += [batch.scaffold_names[plan.scaffold_id[w]]
+                        if plan.scaffold_id[w] >= 0 else "None",
+                        str(int(plan.start[w])), str(int(plan.end[w])),
+                        writers.fmt_int_or_nan(mid[w]), str(n_sites_w),
+                        str(sites_used) if sites_used == sites_used else "nan"]
+                row += values
+                out.write(",".join(row) + "\n")
+                rows_written += 1
+            progress.update(rows=rows_written)
+            if cursor is not None:
+                out.flush()
+                cursor.save(batch.window_offset + n_w, out.tell())
+
+    if cursor is not None:
+        cursor.clear()
     if args.outFile:
         out.close()
+    progress.close()
+    timer.report()
     return 0
 
 

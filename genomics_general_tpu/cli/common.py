@@ -5,6 +5,8 @@
 from __future__ import annotations
 
 import argparse
+import hashlib
+import os
 
 import numpy as np
 
@@ -106,6 +108,60 @@ def add_io_args(parser: argparse.ArgumentParser, formats=("phased", "pairs", "ha
                         help="Accepted for reference-CLI compatibility; device "
                              "parallelism is configured via JAX instead.")
     parser.add_argument("--verbose", action="store_true")
+
+
+def add_runtime_args(parser: argparse.ArgumentParser):
+    """Engine runtime flags (extensions beyond the reference surface)."""
+    parser.add_argument("--profile", action="store_true",
+                        help="report per-stage wall-clock timing "
+                             "(parse/h2d/kernel/finalize/write) on stderr")
+    parser.add_argument("--resume", action="store_true",
+                        help="checkpoint per flushed window batch and resume "
+                             "an interrupted run (plain-text --outFile only)")
+
+
+def get_mesh():
+    """The default device mesh for CLI kernel dispatch (None on one chip)."""
+    from ..parallel.dispatch import default_mesh
+    return default_mesh()
+
+
+def config_key(args) -> str:
+    """Stable hash of the CLI config, used to validate resume cursors."""
+    d = {k: v for k, v in sorted(vars(args).items()) if k != "resume"}
+    return hashlib.sha1(repr(d).encode()).hexdigest()
+
+
+def open_resumable_out(args, header_line: str):
+    """Open the output stream honoring ``--resume``.
+
+    Returns (out, skip_windows, cursor).  On resume, the output file is
+    truncated to the last flushed batch boundary and reopened in append mode;
+    ``skip_windows`` is the number of windows already fully written.
+    """
+    from .. import engine as _engine
+    from ..io import writers
+
+    if not getattr(args, "resume", False) or not args.outFile:
+        out = writers.open_out(args.outFile)
+        out.write(header_line)
+        return out, 0, None
+    if args.outFile.endswith(".gz"):
+        raise SystemExit(
+            "--resume requires a plain-text --outFile (a gzip stream cannot "
+            "be truncated to a flush boundary and stay well-formed)")
+    cursor = _engine.Cursor(args.outFile, config_key(args))
+    st = cursor.load()
+    if st and os.path.exists(args.outFile):
+        with open(args.outFile, "r+") as f:
+            f.truncate(st["bytes_done"])
+        out = open(args.outFile, "at")
+        return out, int(st["windows_done"]), cursor
+    out = open(args.outFile, "wt")
+    out.write(header_line)
+    out.flush()
+    cursor.save(0, out.tell())
+    return out, 0, cursor
 
 
 def read_scaffold_list(path: str | None):

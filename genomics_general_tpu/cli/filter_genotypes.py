@@ -207,22 +207,7 @@ def main(argv=None) -> int:
                 reader = geno_io.rebind_reader(peeked, sd)
                 first_chunk = reader.parse_chunk(blob)
 
-    chunks = ([first_chunk] if first_chunk is not None else []) \
-        + list(reader.iter_chunks())
     model = reader.model
-    if chunks:
-        alleles = chunks[0].alleles if len(chunks) == 1 else \
-            np.concatenate([c.alleles for c in chunks], axis=1)
-        positions = np.concatenate([c.positions for c in chunks]) \
-            if len(chunks) > 1 else chunks[0].positions
-        scaffold_ids = np.concatenate([c.scaffold_ids for c in chunks]) \
-            if len(chunks) > 1 else chunks[0].scaffold_ids
-    else:
-        alleles = np.empty((model.n_rows, 0), np.int8)
-        positions = np.empty(0, np.int64)
-        scaffold_ids = np.empty(0, np.int32)
-    S = positions.shape[0]
-    scaf_names = np.array(reader.scaffold_names, dtype=object)
 
     out = writers.open_out(args.outfile)
     out_fmt = args.outputGenoFormat
@@ -235,172 +220,194 @@ def main(argv=None) -> int:
                        for letter in _string.ascii_uppercase[:sd.ploidy[s]]]
         out.write("\t".join(header_cols + out_samples) + "\n")
 
-    if S == 0:
-        if args.outfile:
-            out.close()
-        return 0
-
-    # ---- filter masks
+    # ---- per-chunk streaming filter (O(chunk) memory; everything below is
+    # sitewise except thinning, whose (lastScaf, lastPos, absolute line
+    # index) state carries across chunks — pod resets are absolute)
     from ..kernels import counts as counts_k
     n_ind = len(samples)
     ind_rows = [model.ind_order[j] for j in range(n_ind)]
-
-    keep_ie = np.ones(S, dtype=bool)
-    if include is not None:
-        keep_ie &= np.isin(scaf_names[scaffold_ids], list(include))
-    if exclude is not None:
-        keep_ie &= ~np.isin(scaf_names[scaffold_ids], list(exclude))
-    keep = keep_ie.copy()
-
-    full_mask = np.ones((1, model.n_rows), np.float32)
-    counts_all = counts_k.site_pop_counts_chunked(alleles, full_mask)[:, 0, :]
-
-    ind_nonmissing = np.ones((S, n_ind), dtype=bool)
-    ind_het = np.zeros((S, n_ind), dtype=bool)
-    for j in range(n_ind):
-        rows = ind_rows[j]
-        sub = alleles[rows, :]
-        ind_nonmissing[:, j] = (sub >= 0).all(axis=0)
-        if rows.size > 1:
-            ind_het[:, j] = (sub != sub[0:1, :]).any(axis=0)
-
-    pop_counts = None
-    pop_ind_nm = None
-    if pop_names:
-        pm = np.zeros((len(pop_names), model.n_rows), np.float32)
-        for k, pn in enumerate(pop_names):
-            pm[k, model.pop_row_indices[pn]] = 1.0
-        pc = counts_k.site_pop_counts_chunked(alleles, pm)
-        pop_counts = {pn: pc[:, k, :] for k, pn in enumerate(pop_names)}
-        sample_idx = {s: j for j, s in enumerate(samples)}
-        pop_ind_nm = {pn: ind_nonmissing[:, [sample_idx[s] for s in pop_dict[pn]]]
-                      for pn in pop_names}
-
-    if not args.noTest:
-        keep &= F.site_test_masks(
-            counts_all, ind_nonmissing, ind_het, pop_counts, pop_ind_nm,
-            min_calls=args.minCalls, min_pop_calls=min_pop_calls,
-            min_alleles=args.minAlleles, max_alleles=args.maxAlleles,
-            min_pop_alleles=min_pop_alleles, max_pop_alleles=max_pop_alleles,
-            min_var_count=args.minVarCount, max_het=args.maxHet,
-            min_freq=args.minFreq, max_freq=args.maxFreq,
-            fixed=args.fixedDiffs, nearly_fixed_diff=args.nearlyFixedDiff)
-
-        # HWE: the reference's `site.pops is not {}` is always True, so the
-        # filter only ever checks named pops and is a NO-OP without -p
-        # (siteTest, genomics.py:763-769)
-        if hwe_p is not None and pop_names:
-            n_alleles = (counts_all > 0).sum(axis=1)
-            for s in np.flatnonzero(keep & (n_alleles > 1)):
-                ok = True
-                for g in pop_names:
-                    idx = [samples.index(x) for x in pop_dict[g]]
-                    codes = np.stack([alleles[ind_rows[j], s] for j in idx])
-                    if codes.shape[1] != 2:
-                        continue
-                    if not F.in_hwe_site(codes, hwe_p, hwe_side):
-                        ok = False
-                        break
-                if not ok:
-                    keep[s] = False
-
-    # ---- thinning (sequential; pod-reset quirk replicated).  Reference
-    # order per line: scaffold-change always updates lastScaf/lastPos; a site
-    # advances lastPos only when it passes BOTH thinning and siteTest
-    # (filterGenotypes.py:41-55).
-    if args.thinDist:
-        thin_keep = np.zeros(S, dtype=bool)
-        pod = args.podSize
-        last_scaf = -1
-        last_pos = None
-        for s in range(S):
-            if s % pod == 0:
-                last_scaf = -1
-            if not keep_ie[s]:
-                continue
-            if scaffold_ids[s] != last_scaf:
-                last_pos = positions[s]
-                last_scaf = scaffold_ids[s]
-                continue
-            if positions[s] - last_pos < args.thinDist:
-                continue
-            if keep[s]:
-                thin_keep[s] = True
-                last_pos = positions[s]
-        keep &= thin_keep
-
-    kept = np.flatnonzero(keep)
-
-    # ---- output assembly
-    ranked = None
-    if args.alleleOrder == "freq" or out_fmt in ("coded", "count"):
-        ranked = byfreq_order(counts_all)
 
     # per-sample phase separators; phased input keeps each genotype's
     # separator in the reference (geno[1]) — we use the first data line's
     # separator per sample (uniform-separator files are identical)
     phase = {s: ("|" if args.inputGenoFormat == "phased" and sd.ploidy[s] > 1
                  else "/") for s in samples}
+    if pop_names:
+        pm = np.zeros((len(pop_names), model.n_rows), np.float32)
+        for k, pn in enumerate(pop_names):
+            pm[k, model.pop_row_indices[pn]] = 1.0
+        sample_idx = {s: j for j, s in enumerate(samples)}
 
-    def fields_for_site(s: int) -> list[str]:
-        outf = []
-        if out_fmt in ("coded", "count"):
-            ralleles = [int(a) for a in ranked[s] if a >= 0]
-        for j, name in enumerate(samples):
-            codes = alleles[ind_rows[j], s]
-            chars = [_code_char(int(c)) for c in codes]
-            if out_fmt == "phased":
-                outf.append(phase[name].join(chars))
-            elif out_fmt == "diplo":
-                pair = "".join(sorted(chars))
-                outf.append(DIPLO_TABLE.get(pair, "N"))
-            elif out_fmt == "bases":
-                if args.alleleOrder == "freq":
-                    order = {int(a): k for k, a in enumerate(ranked[s]) if a >= 0}
-                    order[-1] = 99
-                    chars = [c for _, c in sorted(
-                        zip([order.get(int(x), 99) for x in codes], chars),
-                        key=lambda t: t[0])]
-                outf.extend(chars)
-            elif out_fmt == "alleles":
-                if args.alleleOrder == "freq":
-                    order = {int(a): k for k, a in enumerate(ranked[s]) if a >= 0}
-                    order[-1] = 99
-                    outf.append("".join(c for _, c in sorted(
-                        zip([order.get(int(x), 99) for x in codes], chars),
-                        key=lambda t: t[0])))
-                else:
-                    outf.append(str(tuple(chars)))
-            elif out_fmt == "randomAllele":
-                outf.append(chars[0] if len(chars) == 1
-                            else random.sample(chars, 1)[0])
-            elif out_fmt == "coded":
-                code = {a: str(k) for k, a in enumerate(ralleles)}
-                if any(int(c) < 0 for c in codes):
-                    outf.append(phase[name].join(["."] * len(codes)))
-                else:
-                    outf.append(phase[name].join(code[int(c)] for c in codes))
-            elif out_fmt == "count":
-                if not ralleles:
-                    outf.append("-1")
-                elif any(int(c) < 0 for c in codes):
-                    outf.append("-1")
-                else:
-                    ca = ralleles[-1]
-                    outf.append(str(int((codes == ca).sum())))
-        return outf
+    thin_state = {"abs": 0, "last_scaf": -1, "last_pos": None}
 
-    scafs_of = scaf_names[scaffold_ids]
-    buf = []
-    for s in kept:
-        buf.append(scafs_of[s] + "\t" + str(int(positions[s])) + "\t"
-                   + "\t".join(fields_for_site(int(s))) + "\n")
-        if len(buf) >= 10000:
-            out.write("".join(buf))
-            buf = []
-    out.write("".join(buf))
+    def process_chunk(alleles, positions, scaffold_ids):
+        S = positions.shape[0]
+        scaf_names = np.array(reader.scaffold_names, dtype=object)
+
+        keep_ie = np.ones(S, dtype=bool)
+        if include is not None:
+            keep_ie &= np.isin(scaf_names[scaffold_ids], list(include))
+        if exclude is not None:
+            keep_ie &= ~np.isin(scaf_names[scaffold_ids], list(exclude))
+        keep = keep_ie.copy()
+
+        full_mask = np.ones((1, model.n_rows), np.float32)
+        counts_all = counts_k.site_pop_counts_chunked(alleles, full_mask)[:, 0, :]
+
+        ind_nonmissing = np.ones((S, n_ind), dtype=bool)
+        ind_het = np.zeros((S, n_ind), dtype=bool)
+        for j in range(n_ind):
+            rows = ind_rows[j]
+            sub = alleles[rows, :]
+            ind_nonmissing[:, j] = (sub >= 0).all(axis=0)
+            if rows.size > 1:
+                ind_het[:, j] = (sub != sub[0:1, :]).any(axis=0)
+
+        pop_counts = None
+        pop_ind_nm = None
+        if pop_names:
+            pc = counts_k.site_pop_counts_chunked(alleles, pm)
+            pop_counts = {pn: pc[:, k, :] for k, pn in enumerate(pop_names)}
+            pop_ind_nm = {pn: ind_nonmissing[:, [sample_idx[s] for s in pop_dict[pn]]]
+                          for pn in pop_names}
+
+        if not args.noTest:
+            keep &= F.site_test_masks(
+                counts_all, ind_nonmissing, ind_het, pop_counts, pop_ind_nm,
+                min_calls=args.minCalls, min_pop_calls=min_pop_calls,
+                min_alleles=args.minAlleles, max_alleles=args.maxAlleles,
+                min_pop_alleles=min_pop_alleles, max_pop_alleles=max_pop_alleles,
+                min_var_count=args.minVarCount, max_het=args.maxHet,
+                min_freq=args.minFreq, max_freq=args.maxFreq,
+                fixed=args.fixedDiffs, nearly_fixed_diff=args.nearlyFixedDiff)
+
+            # HWE: the reference's `site.pops is not {}` is always True, so
+            # the filter only ever checks named pops and is a NO-OP without
+            # -p (siteTest, genomics.py:763-769)
+            if hwe_p is not None and pop_names:
+                n_alleles = (counts_all > 0).sum(axis=1)
+                for s in np.flatnonzero(keep & (n_alleles > 1)):
+                    ok = True
+                    for g in pop_names:
+                        idx = [samples.index(x) for x in pop_dict[g]]
+                        codes = np.stack([alleles[ind_rows[j], s] for j in idx])
+                        if codes.shape[1] != 2:
+                            continue
+                        if not F.in_hwe_site(codes, hwe_p, hwe_side):
+                            ok = False
+                            break
+                    if not ok:
+                        keep[s] = False
+
+        # ---- thinning (sequential; pod-reset quirk replicated).  Reference
+        # order per line: scaffold-change always updates lastScaf/lastPos; a
+        # site advances lastPos only when it passes BOTH thinning and
+        # siteTest (filterGenotypes.py:41-55).
+        if args.thinDist:
+            thin_keep = np.zeros(S, dtype=bool)
+            pod = args.podSize
+            abs0 = thin_state["abs"]
+            last_scaf = thin_state["last_scaf"]
+            last_pos = thin_state["last_pos"]
+            for s in range(S):
+                if (abs0 + s) % pod == 0:
+                    last_scaf = -1
+                if not keep_ie[s]:
+                    continue
+                if scaffold_ids[s] != last_scaf:
+                    last_pos = positions[s]
+                    last_scaf = scaffold_ids[s]
+                    continue
+                if positions[s] - last_pos < args.thinDist:
+                    continue
+                if keep[s]:
+                    thin_keep[s] = True
+                    last_pos = positions[s]
+            thin_state["abs"] = abs0 + S
+            thin_state["last_scaf"] = last_scaf
+            thin_state["last_pos"] = last_pos
+            keep &= thin_keep
+
+        kept = np.flatnonzero(keep)
+
+        # ---- output assembly
+        ranked = None
+        if args.alleleOrder == "freq" or out_fmt in ("coded", "count"):
+            ranked = byfreq_order(counts_all)
+
+        def fields_for_site(s: int) -> list[str]:
+            outf = []
+            if out_fmt in ("coded", "count"):
+                ralleles = [int(a) for a in ranked[s] if a >= 0]
+            for j, name in enumerate(samples):
+                codes = alleles[ind_rows[j], s]
+                chars = [_code_char(int(c)) for c in codes]
+                if out_fmt == "phased":
+                    outf.append(phase[name].join(chars))
+                elif out_fmt == "diplo":
+                    pair = "".join(sorted(chars))
+                    outf.append(DIPLO_TABLE.get(pair, "N"))
+                elif out_fmt == "bases":
+                    if args.alleleOrder == "freq":
+                        order = {int(a): k for k, a in enumerate(ranked[s]) if a >= 0}
+                        order[-1] = 99
+                        chars = [c for _, c in sorted(
+                            zip([order.get(int(x), 99) for x in codes], chars),
+                            key=lambda t: t[0])]
+                    outf.extend(chars)
+                elif out_fmt == "alleles":
+                    if args.alleleOrder == "freq":
+                        order = {int(a): k for k, a in enumerate(ranked[s]) if a >= 0}
+                        order[-1] = 99
+                        outf.append("".join(c for _, c in sorted(
+                            zip([order.get(int(x), 99) for x in codes], chars),
+                            key=lambda t: t[0])))
+                    else:
+                        outf.append(str(tuple(chars)))
+                elif out_fmt == "randomAllele":
+                    outf.append(chars[0] if len(chars) == 1
+                                else random.sample(chars, 1)[0])
+                elif out_fmt == "coded":
+                    code = {a: str(k) for k, a in enumerate(ralleles)}
+                    if any(int(c) < 0 for c in codes):
+                        outf.append(phase[name].join(["."] * len(codes)))
+                    else:
+                        outf.append(phase[name].join(code[int(c)] for c in codes))
+                elif out_fmt == "count":
+                    if not ralleles:
+                        outf.append("-1")
+                    elif any(int(c) < 0 for c in codes):
+                        outf.append("-1")
+                    else:
+                        ca = ralleles[-1]
+                        outf.append(str(int((codes == ca).sum())))
+            return outf
+
+        scafs_of = scaf_names[scaffold_ids]
+        buf = []
+        for s in kept:
+            buf.append(scafs_of[s] + "\t" + str(int(positions[s])) + "\t"
+                       + "\t".join(fields_for_site(int(s))) + "\n")
+            if len(buf) >= 10000:
+                out.write("".join(buf))
+                buf = []
+        out.write("".join(buf))
+
+    from .. import engine as _engine
+    progress = _engine.Progress(args.verbose)
+
+    def all_chunks():
+        if first_chunk is not None:
+            yield first_chunk
+        yield from reader.iter_chunks()
+
+    for chunk in _engine._prefetched(all_chunks()):
+        process_chunk(chunk.alleles, chunk.positions, chunk.scaffold_ids)
+        progress.update(sites=chunk.positions.shape[0])
+
     if args.outfile:
         out.close()
+    progress.close()
     return 0
 
 

@@ -19,6 +19,7 @@ import sys
 
 import numpy as np
 
+from .. import engine as _engine
 from ..io import geno as geno_io
 from ..io import writers
 from ..kernels import counts as counts_k
@@ -147,8 +148,7 @@ def main(argv=None) -> int:
     sd = SampleData(ind_names=all_inds, pop_names=pop_names,
                     pop_inds=pop_inds, ploidy=ploidy)
     reader = geno_io.rebind_reader(tmp_reader, sd)
-    data = reader.read_all()
-    model = data.model
+    model = reader.model
 
     as_counts = args.asCounts if args.target else True
     keep_nan_lines = args.keepNanLines if args.target else True
@@ -158,9 +158,13 @@ def main(argv=None) -> int:
     out.write("scaffold\tposition\t")
     out.write("\t".join(pop_names) + "\n")
 
-    # ---- device counts: one mask per pop (+ingroup union for derived)
+    # ---- device counts: one mask per pop (+ingroup union for derived,
+    # +all-rows union for multi-pop minor)
     P = len(pop_names)
-    n_masks = P + (1 if args.target == "derived" else 0)
+    minor_all_rows = (args.target == "minor" and not args.indFreqs
+                      and len(pop_names) >= 2)
+    n_masks = P + (1 if args.target == "derived" else 0) \
+        + (1 if minor_all_rows else 0)
     mask = np.zeros((n_masks, model.n_rows), dtype=np.float32)
     for k, n in enumerate(pop_names):
         mask[k, model.pop_row_indices[n]] = 1.0
@@ -168,34 +172,39 @@ def main(argv=None) -> int:
         in_rows = np.unique(np.concatenate(
             [model.pop_row_indices[n] for n in pop_names[:-1]]))
         mask[P, in_rows] = 1.0
-    counts = counts_k.site_pop_counts_chunked(data.alleles, mask)  # [S,n_masks,4]
-    S = counts.shape[0]
+    if minor_all_rows:
+        # reference uses aln = ALL rows; sum of pop counts would count
+        # shared individuals twice
+        mask[-1, :] = 1.0
 
-    scaf_names = np.array(data.scaffold_names, dtype=object)
+    progress = _engine.Progress(args.verbose)
 
-    if not args.target:
-        # counts mode: "a,c,g,t" per pop (freq.py:52-60)
-        cols = []
-        for k in range(P):
-            c = counts[:, k, :]
-            cols.append(np.array([",".join(r) for r in c.astype(str)], dtype=object))
-        all_any = None  # all lines kept
-        for s in range(S):
-            out.write(scaf_names[data.scaffold_ids[s]] + "\t"
-                      + str(int(data.positions[s])) + "\t"
-                      + "\t".join(col[s] for col in cols) + "\n")
-    else:
+    def process_block(alleles, scaffold_ids, positions):
+        """Per-site processing of one parsed chunk (everything here is
+        sitewise, so streaming chunk-by-chunk preserves output exactly)."""
+        counts = counts_k.site_pop_counts_chunked(alleles, mask)  # [S,n_masks,4]
+        S = counts.shape[0]
+        scaf_names = np.array(reader.scaffold_names, dtype=object)
+
+        if not args.target:
+            # counts mode: "a,c,g,t" per pop (freq.py:52-60)
+            cols = []
+            for k in range(P):
+                c = counts[:, k, :]
+                cols.append(np.array([",".join(r) for r in c.astype(str)],
+                                     dtype=object))
+            for s in range(S):
+                out.write(scaf_names[scaffold_ids[s]] + "\t"
+                          + str(int(positions[s])) + "\t"
+                          + "\t".join(col[s] for col in cols) + "\n")
+            return S
+
         if args.target == "derived":
             base_col = derived_allele_codes(counts[:, P, :],
                                             counts[:, P - 1, :])
         else:
-            # minor allele over the whole alignment (all requested inds)
-            total = counts[:, :P, :].sum(axis=1)
-            if not args.indFreqs and len(pop_names) >= 2:
-                # reference uses aln = ALL rows; sum of pop counts counts
-                # shared individuals twice — recompute over all rows
-                full_mask = np.ones((1, model.n_rows), dtype=np.float32)
-                total = counts_k.site_pop_counts_chunked(data.alleles, full_mask)[:, 0, :]
+            total = counts[:, -1, :] if minor_all_rows \
+                else counts[:, :P, :].sum(axis=1)
             base_col = minor_allele_codes(total)
         good_sites_mask = ~np.isnan(base_col)
 
@@ -229,12 +238,18 @@ def main(argv=None) -> int:
             rows_out = np.arange(S)
         vals_str = pop_vals.astype(str)
         for s in rows_out:
-            out.write(scaf_names[data.scaffold_ids[s]] + "\t"
-                      + str(int(data.positions[s])) + "\t"
+            out.write(scaf_names[scaffold_ids[s]] + "\t"
+                      + str(int(positions[s])) + "\t"
                       + "\t".join(vals_str[s]) + "\n")
+        return S
+
+    for chunk in _engine._prefetched(reader.iter_chunks()):
+        done = process_block(chunk.alleles, chunk.scaffold_ids, chunk.positions)
+        progress.update(sites=done, rows=done)
 
     if args.outFile:
         out.close()
+    progress.close()
     return 0
 
 

@@ -3,8 +3,13 @@ per-individual het & distances, H1/H12/H2).
 
 CLI mirrors /root/reference/popgenWindows.py (flags :170-210, CSV assembly
 :319-354, per-window wrapper :28-75).  The pipeline replaces the reference's
-process pool with: vectorized host parse -> static window plan -> batched MXU
-pair-count / allele-count kernels -> float64 host finalize -> ordered CSV.
+process pool with the streaming engine: prefetch-threaded chunk parse ->
+incremental window plan -> batched MXU pair-count / allele-count kernels
+(data-parallel over the local device mesh) -> float64 host finalize ->
+ordered CSV.  Memory is O(flush batch), not O(genome).
+
+Extension beyond the reference: ``--fstMethod WC`` adds Weir-Cockerham Fst
+columns (the reference only has 1 - pi_s/pi_t, genomics.py:987-993).
 """
 
 from __future__ import annotations
@@ -15,7 +20,7 @@ import sys
 
 import numpy as np
 
-from .. import windows as W
+from .. import engine
 from ..io import geno as geno_io
 from ..io import writers
 from ..kernels import counts as counts_k
@@ -35,11 +40,17 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("popFreq", "popDist", "popPairDist", "indPairDist",
                             "indHet", "hapStats"),
                    default=("popDist", "popPairDist"))
+    p.add_argument("--fstMethod", action="store", choices=("ref", "WC"),
+                   default="ref",
+                   help="Fst estimator: 'ref' = 1 - pi_s/pi_t like the "
+                        "reference; 'WC' adds Weir-Cockerham (1984) columns "
+                        "(engine extension).")
     p.add_argument("--hapDist", type=float, default=0)
     p.add_argument("--roundTo", type=int, default=4)
     common.add_io_args(p)
     p.add_argument("--addWindowID", action="store_true")
     p.add_argument("--writeFailedWindows", action="store_true")
+    common.add_runtime_args(p)
     return p
 
 
@@ -66,28 +77,7 @@ def main(argv=None) -> int:
             sd.pop_inds = {"all": all_inds}
     pop_names = sd.pop_names
     all_inds = sd.ind_names
-
-    # ---- read + filter
-    reader = geno_io.GenoReader(args.genoFile if args.genoFile else sys.stdin,
-                                sample_data=sd, geno_format=args.genoFormat,
-                                header=args.header)
-    data = reader.read_all()
-    keep = W.filter_scaffolds(data.scaffold_ids, data.scaffold_names,
-                              include=common.read_scaffold_list(args.include),
-                              exclude=common.read_scaffold_list(args.exclude))
-    if not keep.all():
-        data.alleles = data.alleles[:, keep]
-        data.positions = data.positions[keep]
-        data.scaffold_ids = data.scaffold_ids[keep]
-
-    plan = common.build_plan(wind, data.scaffold_ids, data.positions,
-                             data.scaffold_names)
-    model = data.model
-    n_windows = plan.n_windows
     min_sites = wind["minSites"]
-    sites = plan.n_sites
-    good = sites >= min_sites
-    mid = plan.mid(data.positions)
 
     # ---- stats column list (popgenWindows.py:326-354)
     stats: list[str] = []
@@ -99,6 +89,9 @@ def main(argv=None) -> int:
     if "popPairDist" in analysis:
         stats += ["dxy_" + x + "_" + y for x, y in itertools.combinations(pop_names, 2)]
         stats += ["Fst_" + x + "_" + y for x, y in itertools.combinations(pop_names, 2)]
+        if args.fstMethod == "WC":
+            stats += ["FstWC_" + x + "_" + y
+                      for x, y in itertools.combinations(pop_names, 2)]
     if "indPairDist" in analysis:
         stats += ["_".join(["d", i, j])
                   for i, j in itertools.combinations_with_replacement(sorted(all_inds), 2)]
@@ -109,84 +102,144 @@ def main(argv=None) -> int:
             stats += [prefix + n for n in pop_names]
     int_stats = {s for s in stats if s.startswith(("l_",))}
 
-    # ---- device + finalize
-    values: dict[str, np.ndarray] = {}
-
     need_dist = any(a in analysis for a in
                     ("popDist", "popPairDist", "indPairDist", "indHet", "hapStats"))
-    if need_dist and n_windows:
-        from ..kernels.transfer import device_alleles
-        alleles_dev = device_alleles(data.alleles)
-        mism, shar = pair_k.window_pair_counts(
-            alleles_dev, plan.first.astype(np.int32), sites.astype(np.int32))
-        ctx = popgen.DistStatsContext(mism, shar)
-        # analysis order matters: the reference mutates the cached matrix
-        # (popgenWindows.py:51-64)
-        if "popDist" in analysis or "popPairDist" in analysis:
-            values.update(popgen.group_dist_stats(
-                ctx, model.row_group, do_pairs="popPairDist" in analysis,
-                min_sites=min_sites, min_data=args.minData))
-        if "indPairDist" in analysis:
-            pd = popgen.ind_pair_dists(ctx, model.sample_names, model.sample_rows)
-            for i, j in itertools.combinations_with_replacement(
-                    sorted(pd.keys()), 2):
-                values["_".join(["d", i, j])] = pd[i][j]
-        if "indHet" in analysis:
-            het = popgen.sample_het(ctx, model.sample_names, model.sample_rows)
-            for key, v in het.items():
-                values["het_" + key] = v
-        if "hapStats" in analysis:
-            values.update(popgen.h12_stats(ctx, model.row_group, args.hapDist))
+    need_freq = "popFreq" in analysis
+    need_wc = need_dist and args.fstMethod == "WC" and "popPairDist" in analysis
 
-    if "popFreq" in analysis and n_windows:
-        complete = (data.alleles >= 0).all(axis=0)
-        group_counts = {}
-        group_sizes = {}
-        groups_arr = np.array(["" if g is None else g for g in model.row_group])
-        for g in np.unique(groups_arr):
-            rows = np.flatnonzero(groups_arr == g)
-            mask = np.zeros((1, model.n_rows), dtype=np.float32)
-            mask[0, rows] = 1.0
-            c = counts_k.site_pop_counts_chunked(data.alleles, mask)[:, 0, :]
-            group_counts[g] = c
-            group_sizes[g] = rows.size
-        values.update(popgen.group_freq_stats(
-            group_counts, group_sizes, complete,
-            zip(plan.first, plan.last)))
+    # ---- runtime setup
+    mesh = common.get_mesh()
+    timer = engine.StageTimer(args.profile)
+    progress = engine.Progress(args.verbose)
+    reader = geno_io.GenoReader(args.genoFile if args.genoFile else sys.stdin,
+                                sample_data=sd, geno_format=args.genoFormat,
+                                header=args.header)
+    model = reader.model
 
-    # ---- write CSV
-    out = writers.open_out(args.outFile)
     head = "windowID,scaffold,start,end,mid,sites," if args.addWindowID \
         else "scaffold,start,end,mid,sites,"
-    out.write(head + ",".join(stats) + "\n")
+    out, skip_windows, cursor = common.open_resumable_out(
+        args, head + ",".join(stats) + "\n")
+
+    # popFreq: one combined mask over the row groups (incl. ungrouped rows)
+    if need_freq or need_wc:
+        groups_arr = np.array(["" if g is None else g for g in model.row_group])
+        freq_groups = list(np.unique(groups_arr))
+        fmask = np.zeros((len(freq_groups), model.n_rows), dtype=np.float32)
+        fsizes = {}
+        for gi, g in enumerate(freq_groups):
+            rows = np.flatnonzero(groups_arr == g)
+            fmask[gi, rows] = 1.0
+            fsizes[g] = rows.size
 
     rt = args.roundTo
-    for w in range(n_windows):
-        is_good = bool(good[w])
-        if not (is_good or args.writeFailedWindows):
+    for batch in engine.stream_windows(
+            reader, wind,
+            include=common.read_scaffold_list(args.include),
+            exclude=common.read_scaffold_list(args.exclude),
+            device=True, mesh=mesh, progress=progress, timer=timer):
+        plan = batch.plan
+        n_w = plan.n_windows
+        if n_w == 0:
             continue
-        row = []
-        if args.addWindowID:
-            row.append(str(plan.ids[w]))
-        row.append(data.scaffold_names[plan.scaffold_id[w]]
-                   if plan.scaffold_id[w] >= 0 else "None")
-        row.append(str(int(plan.start[w])))
-        row.append(str(int(plan.end[w])))
-        row.append(writers.fmt_int_or_nan(mid[w]))
-        row.append(str(int(sites[w])))
-        for s in stats:
-            if not is_good:
-                row.append("nan")
-            elif s in int_stats:
-                row.append(writers.fmt_int_or_nan(values[s][w]))
-            elif s.startswith("S_"):
-                v = values[s][w]
-                row.append(writers.fmt_int_or_nan(v) if v == v else "nan")
-            else:
-                row.append(writers.fmt_float(values[s][w], rt))
-        out.write(",".join(row) + "\n")
+        if batch.window_offset + n_w <= skip_windows:
+            continue                     # resume: batch fully written already
+
+        sites = plan.n_sites
+        good = sites >= min_sites
+        mid = plan.mid(batch.positions)
+        values: dict[str, np.ndarray] = {}
+
+        if need_dist:
+            with timer.stage("kernel"):
+                mism, shar = pair_k.window_pair_counts(
+                    batch.dev_alleles, plan.first.astype(np.int32),
+                    sites.astype(np.int32), mesh=mesh)
+            with timer.stage("finalize"):
+                ctx = popgen.DistStatsContext(mism, shar)
+                # analysis order matters: the reference mutates the cached
+                # matrix (popgenWindows.py:51-64)
+                if "popDist" in analysis or "popPairDist" in analysis:
+                    values.update(popgen.group_dist_stats(
+                        ctx, model.row_group, do_pairs="popPairDist" in analysis,
+                        min_sites=min_sites, min_data=args.minData))
+                if "indPairDist" in analysis:
+                    pd = popgen.ind_pair_dists(ctx, model.sample_names,
+                                               model.sample_rows)
+                    for i, j in itertools.combinations_with_replacement(
+                            sorted(pd.keys()), 2):
+                        values["_".join(["d", i, j])] = pd[i][j]
+                if "indHet" in analysis:
+                    het = popgen.sample_het(ctx, model.sample_names,
+                                            model.sample_rows)
+                    for key, v in het.items():
+                        values["het_" + key] = v
+                if "hapStats" in analysis:
+                    values.update(popgen.h12_stats(ctx, model.row_group,
+                                                   args.hapDist))
+
+        if need_freq or need_wc:
+            needed = batch.needed_end
+            with timer.stage("kernel"):
+                counts = counts_k.site_pop_counts_chunked(
+                    batch.dev_alleles[:, :needed] if batch.dev_alleles is not None
+                    else batch.alleles[:, :needed],
+                    fmask, mesh=mesh)                     # [S, G, 4]
+            with timer.stage("finalize"):
+                if need_freq:
+                    complete = (batch.alleles[:, :needed] >= 0).all(axis=0)
+                    group_counts = {g: counts[:, gi, :]
+                                    for gi, g in enumerate(freq_groups)}
+                    values.update(popgen.group_freq_stats(
+                        group_counts, fsizes, complete,
+                        zip(plan.first, plan.last)))
+                if need_wc:
+                    gidx = {g: i for i, g in enumerate(freq_groups)}
+                    for x, y in itertools.combinations(pop_names, 2):
+                        values["FstWC_" + x + "_" + y] = popgen.wc_fst_windows(
+                            counts[:, gidx[x], :], counts[:, gidx[y], :],
+                            zip(plan.first, plan.last))
+
+        with timer.stage("write"):
+            rows_written = 0
+            for w in range(n_w):
+                if batch.window_offset + w < skip_windows:
+                    continue
+                is_good = bool(good[w])
+                if not (is_good or args.writeFailedWindows):
+                    continue
+                row = []
+                if args.addWindowID:
+                    row.append(str(plan.ids[w]))
+                row.append(batch.scaffold_names[plan.scaffold_id[w]]
+                           if plan.scaffold_id[w] >= 0 else "None")
+                row.append(str(int(plan.start[w])))
+                row.append(str(int(plan.end[w])))
+                row.append(writers.fmt_int_or_nan(mid[w]))
+                row.append(str(int(sites[w])))
+                for s in stats:
+                    if not is_good:
+                        row.append("nan")
+                    elif s in int_stats:
+                        row.append(writers.fmt_int_or_nan(values[s][w]))
+                    elif s.startswith("S_"):
+                        v = values[s][w]
+                        row.append(writers.fmt_int_or_nan(v) if v == v else "nan")
+                    else:
+                        row.append(writers.fmt_float(values[s][w], rt))
+                out.write(",".join(row) + "\n")
+                rows_written += 1
+            progress.update(rows=rows_written)
+            if cursor is not None:
+                out.flush()
+                cursor.save(batch.window_offset + n_w, out.tell())
+
+    if cursor is not None:
+        cursor.clear()
     if args.outFile:
         out.close()
+    progress.close()
+    timer.report()
     return 0
 
 

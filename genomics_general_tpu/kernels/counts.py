@@ -61,17 +61,48 @@ def site_nonmissing(alleles: jnp.ndarray, pop_mask: jnp.ndarray) -> jnp.ndarray:
     return out.T.astype(jnp.int32)
 
 
-def site_pop_counts_chunked(alleles: np.ndarray, pop_mask: np.ndarray,
-                            block: int = DEFAULT_SITE_BLOCK) -> np.ndarray:
+@functools.lru_cache(maxsize=8)
+def _sharded_site_pop_counts(mesh):
+    """Sequence-parallel variant: the site axis sharded over the mesh's
+    ``data`` axis (SURVEY §2.10 SP); the pop mask is replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sites = NamedSharding(mesh, P(None, "data"))
+
+    @functools.partial(jax.jit,
+                       out_shardings=NamedSharding(mesh, P("data")))
+    def fn(alleles, pop_mask):
+        # constraint (not in_shardings): inputs may arrive replicated
+        # (slices of the engine's rolling device buffer) or as host arrays
+        alleles = jax.lax.with_sharding_constraint(alleles, sites)
+        return site_pop_counts(alleles, pop_mask)
+
+    return fn
+
+
+def site_pop_counts_chunked(alleles, pop_mask: np.ndarray,
+                            block: int = DEFAULT_SITE_BLOCK,
+                            mesh=None) -> np.ndarray:
     """Host driver: stream site blocks through the device and return numpy
-    int32 [S, P, 4].  Keeps HBM footprint bounded for genome-scale inputs."""
+    int32 [S, P, 4].  Keeps HBM footprint bounded for genome-scale inputs.
+    ``alleles`` may be a host or device array; with a ``mesh`` each block is
+    sharded sequence-parallel over the mesh devices."""
     H, S = alleles.shape
     P = pop_mask.shape[0]
     out = np.empty((S, P, 4), dtype=np.int32)
     pm = jnp.asarray(pop_mask)
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    fn = _sharded_site_pop_counts(mesh) if mesh is not None else site_pop_counts
     for s0 in range(0, S, block):
         s1 = min(s0 + block, S)
-        out[s0:s1] = np.asarray(site_pop_counts(jnp.asarray(alleles[:, s0:s1]), pm))
+        blk = alleles[:, s0:s1]
+        n = s1 - s0
+        if n_dev > 1 and n % n_dev:
+            # pad the site axis to the mesh size; -1 (missing) sites add 0
+            xp = jnp if isinstance(blk, jnp.ndarray) else np
+            blk = xp.concatenate(
+                [blk, xp.full((H, n_dev - n % n_dev), -1, dtype=xp.int8)],
+                axis=1)
+        out[s0:s1] = np.asarray(fn(blk, pm))[:n]
     return out
 
 

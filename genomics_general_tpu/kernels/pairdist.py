@@ -92,29 +92,58 @@ def long_span_pair_counts(alleles_dev: jnp.ndarray, first: int, last: int,
     return mism, shar
 
 
+def _pack_counts(m, s, s_max):
+    # One fetch per batch, packed [B, 2*H*H]: device->host links have high
+    # fixed latency, and keeping the (possibly sharded) batch axis leading
+    # avoids on-device relayout / collectives.  Counts are bounded by s_max,
+    # so uint16 halves the transfer when windows fit (they always do for
+    # bucketed window batches; cat-mode long spans go through
+    # long_span_pair_counts instead).
+    out = jnp.stack([m, s], axis=1).reshape(m.shape[0], -1)
+    return out.astype(jnp.uint16) if s_max < (1 << 16) else out
+
+
 @functools.partial(jax.jit, static_argnames=("s_max",))
 def _gathered_pair_counts(alleles: jnp.ndarray, first: jnp.ndarray,
                           n_sites: jnp.ndarray, s_max: int):
     wa, valid = gather_window_batch(alleles, first, n_sites, s_max)
     m, s = pairwise_counts(wa, valid)
-    # One flat fetch per batch: device->host links have high fixed latency,
-    # and flat 1-D buffers avoid on-device relayout of tiled [B,H,H] arrays.
-    # Counts are bounded by s_max, so uint16 halves the transfer when windows
-    # fit (they always do for bucketed window batches; cat-mode long spans go
-    # through long_span_pair_counts instead).
-    out = jnp.stack([m, s]).reshape(-1)
-    return out.astype(jnp.uint16) if s_max < (1 << 16) else out
+    return _pack_counts(m, s, s_max)
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_gathered_pair_counts(mesh):
+    """Data-parallel variant: the window-batch axis is sharded over the
+    mesh's ``data`` axis; the allele matrix is replicated (SURVEY §2.10 DP).
+    XLA partitions the gather + matmuls with no collectives on the hot path;
+    output stays batch-sharded, fetched once per batch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    batch = NamedSharding(mesh, P("data"))
+
+    @functools.partial(jax.jit, static_argnames=("s_max",),
+                       out_shardings=batch)
+    def fn(alleles, first, n_sites, s_max):
+        # constraints (not in_shardings): inputs may arrive replicated
+        # (engine's rolling device buffer) or as host arrays
+        first = jax.lax.with_sharding_constraint(first, batch)
+        n_sites = jax.lax.with_sharding_constraint(n_sites, batch)
+        wa, valid = gather_window_batch(alleles, first, n_sites, s_max)
+        m, s = pairwise_counts(wa, valid)
+        return _pack_counts(m, s, s_max)
+
+    return fn
 
 
 def window_pair_counts(alleles_dev: jnp.ndarray, first: np.ndarray,
                        n_sites: np.ndarray, batch_size: int = 1024,
-                       bucket_rounding: int = 1024):
+                       bucket_rounding: int = 1024, mesh=None):
     """Host driver: compute pairwise counts for all windows.
 
     Windows are bucketed by padded length (rounded up to ``bucket_rounding``)
     to bound recompilation and dispatched in fixed-size batches.  All device
     calls are launched asynchronously before any result is fetched, so
-    host<->device latency overlaps with compute.  Returns numpy
+    host<->device latency overlaps with compute.  With a ``mesh``, each batch
+    is sharded data-parallel over the mesh devices.  Returns numpy
     (mismatch [W, H, H], shared [W, H, H]) in window order.
     """
     W = first.shape[0]
@@ -123,6 +152,9 @@ def window_pair_counts(alleles_dev: jnp.ndarray, first: np.ndarray,
     shar = np.empty((W, H, H), dtype=np.int32)
     if W == 0:
         return mism, shar
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    fn = _sharded_gathered_pair_counts(mesh) if mesh is not None \
+        else _gathered_pair_counts
     padded = np.maximum(
         bucket_rounding,
         ((n_sites + bucket_rounding - 1) // bucket_rounding) * bucket_rounding)
@@ -136,21 +168,21 @@ def window_pair_counts(alleles_dev: jnp.ndarray, first: np.ndarray,
             j += 1
         sel = order[i:j]
         b = sel.size
-        # pad the batch to a power of two (not to batch_size): bounds compile
+        # pad the batch to n_dev * 2^k (not to batch_size): bounds compile
         # count to log2(batch_size) variants while keeping transfers ~b-sized
-        bsz = 8
+        # and the batch divisible over the mesh
+        bsz = max(8, n_dev)
         while bsz < b:
             bsz *= 2
         f = np.zeros(bsz, dtype=np.int32)
         ns = np.zeros(bsz, dtype=np.int32)
         f[:b] = first[sel]
         ns[:b] = n_sites[sel]
-        ms = _gathered_pair_counts(alleles_dev, jnp.asarray(f),
-                                   jnp.asarray(ns), s_max)
+        ms = fn(alleles_dev, jnp.asarray(f), jnp.asarray(ns), s_max)
         pending.append((sel, b, bsz, ms))
         i = j
     for sel, b, bsz, ms in pending:
-        host = np.asarray(ms).astype(np.int32, copy=False).reshape(2, bsz, H, H)
-        mism[sel] = host[0, :b]
-        shar[sel] = host[1, :b]
+        host = np.asarray(ms).astype(np.int32, copy=False).reshape(bsz, 2, H, H)
+        mism[sel] = host[:b, 0]
+        shar[sel] = host[:b, 1]
     return mism, shar

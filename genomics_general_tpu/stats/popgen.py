@@ -197,6 +197,64 @@ def h12_stats(ctx: DistStatsContext, row_group: list, max_dist: float) -> dict:
     return out
 
 
+def wc_fst_windows(counts_x: np.ndarray, counts_y: np.ndarray,
+                   window_spans) -> np.ndarray:
+    """Weir & Cockerham (1984) theta per window — ENGINE EXTENSION.
+
+    The reference's only Fst is 1 - pi_s/pi_t (genomics.py:987-993); this
+    adds the WC estimator for two populations of *haploid samples* (our
+    haplotype rows), i.e. the two-level variance decomposition with no
+    individual-heterozygosity component:
+
+    per site, per allele a (r = 2 pops, n_i = called haplotypes in pop i,
+    p_ia = allele frequency in pop i):
+        n_c   = (n. - sum n_i^2 / n.) / (r - 1)
+        MSP_a = sum_i n_i (p_ia - pbar_a)^2 / (r - 1)
+        MSG_a = sum_i n_i p_ia (1 - p_ia) / (n. - r)
+        a_a   = (MSP_a - MSG_a) / n_c          (between-pop component)
+        b_a   = MSG_a                          (within-pop component)
+    and theta(window) = sum_{sites,a} a_a / sum_{sites,a} (a_a + b_a)
+    (ratio of sums, multi-allelic sites contribute one term per allele).
+
+    Sites need n_i >= 1 in both pops and n. > 2; others contribute nothing.
+    Validated against an independent per-site re-derivation in
+    tests/test_wc_fst.py.
+
+    Parameters: counts_x/counts_y int [S, 4] per-site base counts; returns
+    float64 [W].
+    """
+    cx = counts_x.astype(np.float64)
+    cy = counts_y.astype(np.float64)
+    n1 = cx.sum(axis=1)
+    n2 = cy.sum(axis=1)
+    n_tot = n1 + n2
+    ok = (n1 >= 1) & (n2 >= 1) & (n_tot > 2)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p1 = cx / n1[:, None]
+        p2 = cy / n2[:, None]
+        pbar = (cx + cy) / n_tot[:, None]
+        n_c = n_tot - (n1 ** 2 + n2 ** 2) / n_tot           # r - 1 == 1
+        msp = (n1[:, None] * (p1 - pbar) ** 2
+               + n2[:, None] * (p2 - pbar) ** 2)            # / (r - 1) == 1
+        msg = (n1[:, None] * p1 * (1 - p1)
+               + n2[:, None] * p2 * (1 - p2)) / (n_tot - 2)[:, None]
+        a_comp = ((msp - msg) / n_c[:, None]).sum(axis=1)
+        b_comp = msg.sum(axis=1)
+    a_comp = np.where(ok, a_comp, 0.0)
+    b_comp = np.where(ok, b_comp, 0.0)
+    a_comp = np.nan_to_num(a_comp, nan=0.0)
+    b_comp = np.nan_to_num(b_comp, nan=0.0)
+    cs_a = np.concatenate([[0.0], np.cumsum(a_comp)])
+    cs_b = np.concatenate([[0.0], np.cumsum(b_comp)])
+    spans = list(window_spans)
+    out = np.full(len(spans), np.nan)
+    for w, (f, l_) in enumerate(spans):
+        num = cs_a[l_] - cs_a[f]
+        den = num + (cs_b[l_] - cs_b[f])
+        out[w] = num / den if den != 0 else np.nan
+    return out
+
+
 def base_count_pi(counts: np.ndarray) -> np.ndarray:
     """Sitewise multi-allelic pi from base counts [..., 4]
     (baseCountPi, genomics.py:609-616; exact term order)."""
@@ -247,41 +305,55 @@ def group_freq_stats(group_counts: dict, group_sizes: dict,
     """
     spans = list(window_spans)
     W = len(spans)
+    firsts = np.array([f for f, _ in spans], dtype=np.int64)
+    lasts = np.array([l for _, l in spans], dtype=np.int64)
+    cs_l = np.concatenate([[0], np.cumsum(complete_mask.astype(np.int64))])
     out = {}
     groups = sorted(group_counts.keys())
-    # precompute sitewise pi per group over all sites (complete sites only used)
     for g in groups:
         N = group_sizes[g]
         counts = group_counts[g]
         site_pi_all = base_count_pi(counts)
-        if N >= 2:
-            harm = sum(1.0 / np.arange(1, N))      # builtin sum: sequential
-            a1, e1, e2 = tajima_constants(N)
-        else:
-            harm = 0.0
-            a1 = e1 = e2 = np.nan
-        l_arr = np.zeros(W, dtype=np.int64)
+        l_arr = cs_l[lasts] - cs_l[firsts]           # complete sites / window
         S_arr = np.full(W, np.nan)
         tp_arr = np.full(W, np.nan)
         tw_arr = np.full(W, np.nan)
         td_arr = np.full(W, np.nan)
-        for w, (f, l_) in enumerate(spans):
-            cm = complete_mask[f:l_]
-            site_pi = site_pi_all[f:l_][cm]
-            l = site_pi.shape[0]
-            l_arr[w] = l
-            if l >= 1:
-                S = int(np.count_nonzero(site_pi != 0.0))
-                theta_pi = float(_seq_sum(site_pi))
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    theta_w = S / harm if harm != 0 else S / 0.0 if S else np.nan
-                    d = theta_pi - 1.0 * S / a1 if a1 == a1 else np.nan
-                    denom = np.sqrt(e1 * S + e2 * S * (S - 1))
-                    taj_d = d / denom
-                S_arr[w] = S
-                tw_arr[w] = theta_w
-                tp_arr[w] = theta_pi
-                td_arr[w] = taj_d
+        if N >= 2:
+            # vectorized over windows via float64 prefix sums (sequential
+            # left-to-right accumulation like the reference's builtin sum,
+            # genomics.py:1017-1019; window sums are prefix differences)
+            harm = sum(1.0 / np.arange(1, N))        # builtin sum: sequential
+            a1, e1, e2 = tajima_constants(N)
+            seg = complete_mask & (site_pi_all != 0.0)
+            cs_S = np.concatenate([[0], np.cumsum(seg.astype(np.int64))])
+            masked_pi = np.where(complete_mask, site_pi_all, 0.0)
+            cs_pi = np.concatenate([[0.0], np.cumsum(masked_pi)])
+            nz = l_arr >= 1
+            S = (cs_S[lasts] - cs_S[firsts]).astype(np.float64)
+            theta_pi = cs_pi[lasts] - cs_pi[firsts]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                theta_w = S / harm
+                d = theta_pi - S / a1
+                denom = np.sqrt(e1 * S + e2 * S * (S - 1))
+                taj_d = d / denom
+            S_arr[nz] = S[nz]
+            tp_arr[nz] = theta_pi[nz]
+            tw_arr[nz] = theta_w[nz]
+            td_arr[nz] = taj_d[nz]
+        else:
+            # degenerate single-haplotype group: site pi is NaN everywhere,
+            # so replicate the reference's scalar arithmetic per window
+            harm = 0.0
+            for w in range(W):
+                l = int(l_arr[w])
+                if l >= 1:
+                    S = l                            # NaN != 0 counts
+                    S_arr[w] = S
+                    tp_arr[w] = np.nan
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        tw_arr[w] = np.float64(S) / 0.0 if S else np.nan
+                    td_arr[w] = np.nan
         out["l_" + g] = l_arr
         out["S_" + g] = S_arr
         out["thetaPi_" + g] = tp_arr

@@ -63,12 +63,19 @@ class WindowPlan:
 
     def mid(self, positions: np.ndarray) -> np.ndarray:
         """Window midpoints: int(round(mean(positions))) with Python banker's
-        rounding (GenoWindow.midPos, genomics.py:1795-1797); NaN if empty."""
+        rounding (GenoWindow.midPos, genomics.py:1795-1797); NaN if empty.
+
+        Vectorized over windows: exact int64 prefix sums (positions are ints,
+        so span sums are exact) and np.round (round-half-even, same rule as
+        Python round on the float quotient)."""
         out = np.full(self.n_windows, np.nan)
-        for i in range(self.n_windows):
-            f, l = self.first[i], self.last[i]
-            if l > f:
-                out[i] = float(round(float(positions[f:l].sum()) / (l - f)))
+        if self.n_windows == 0:
+            return out
+        cs = np.concatenate([[0], np.cumsum(positions, dtype=np.int64)])
+        n = self.last - self.first
+        nz = n > 0
+        sums = cs[self.last[nz]] - cs[self.first[nz]]
+        out[nz] = np.round(sums / n[nz])
         return out
 
 

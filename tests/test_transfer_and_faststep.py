@@ -20,7 +20,11 @@ def _random_alleles(rng, H=14, S=500, missing=0.12):
     return a
 
 
-def test_pack_unpack_roundtrip():
+@pytest.mark.parametrize("packed", ["0", "1"])
+def test_pack_unpack_roundtrip(packed, monkeypatch):
+    # device_alleles defaults to raw device_put (measured faster on the
+    # target host); GGT_PACKED_TRANSFER=1 opts into the bit-packed planes
+    monkeypatch.setenv("GGT_PACKED_TRANSFER", packed)
     rng = np.random.default_rng(3)
     for H, S in [(1, 1), (5, 7), (8, 8), (13, 1023), (40, 4097)]:
         a = _random_alleles(rng, H, S)
