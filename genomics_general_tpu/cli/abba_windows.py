@@ -100,24 +100,21 @@ def main(argv=None, full_panel: bool = False) -> int:
     timer = engine.StageTimer(args.profile)
     progress = engine.Progress(args.verbose)
 
-    for batch in engine.stream_windows(
-            reader, wind,
-            include=common.read_scaffold_list(args.include),
-            exclude=common.read_scaffold_list(args.exclude),
-            device=True, mesh=mesh, progress=progress, timer=timer):
+    def dispatch(batch):
+        span = batch.alleles[:, :batch.needed_end]
+        with timer.stage("kernel"):
+            handle = counts_k.site_pop_counts_dispatch(span, mask, mesh=mesh) \
+                if span.shape[1] else None
+        return batch, handle
+
+    def finalize(batch, handle):
         plan = batch.plan
         n_w = plan.n_windows
-        if n_w == 0:
-            continue
-        if batch.window_offset + n_w <= skip_windows:
-            continue
         sites = plan.n_sites
         mid = plan.mid(batch.positions)
-        needed = batch.needed_end
-        with timer.stage("kernel"):
-            counts = counts_k.site_pop_counts_chunked(
-                batch.dev_alleles[:, :needed] if batch.dev_alleles is not None
-                else batch.alleles[:, :needed], mask, mesh=mesh)   # [S,5,4]
+        with timer.stage("d2h"):
+            counts = handle.collect() if handle is not None \
+                else np.zeros((0, 5, 4), np.int32)                 # [S,5,4]
         counts_pops = [counts[:, k, :] for k in range(4)]
         counts_union = counts[:, 4, :]
 
@@ -160,6 +157,23 @@ def main(argv=None, full_panel: bool = False) -> int:
             if cursor is not None:
                 out.flush()
                 cursor.save(batch.window_offset + n_w, out.tell())
+
+    in_flight = None
+    for batch in engine.stream_windows(
+            reader, wind,
+            include=common.read_scaffold_list(args.include),
+            exclude=common.read_scaffold_list(args.exclude),
+            progress=progress, timer=timer):
+        if batch.plan.n_windows == 0:
+            continue
+        if batch.window_offset + batch.plan.n_windows <= skip_windows:
+            continue
+        cur = dispatch(batch)
+        if in_flight is not None:
+            finalize(*in_flight)
+        in_flight = cur
+    if in_flight is not None:
+        finalize(*in_flight)
 
     if cursor is not None:
         cursor.clear()

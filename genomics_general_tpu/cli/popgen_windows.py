@@ -25,6 +25,7 @@ from ..io import geno as geno_io
 from ..io import writers
 from ..kernels import counts as counts_k
 from ..kernels import pairdist as pair_k
+from ..kernels import transfer
 from ..stats import popgen
 from . import common
 
@@ -133,28 +134,43 @@ def main(argv=None) -> int:
             fsizes[g] = rows.size
 
     rt = args.roundTo
-    for batch in engine.stream_windows(
-            reader, wind,
-            include=common.read_scaffold_list(args.include),
-            exclude=common.read_scaffold_list(args.exclude),
-            device=True, mesh=mesh, progress=progress, timer=timer):
+
+    def dispatch(batch):
+        """Upload the flush span once (bit-packed) and launch all device
+        work asynchronously; results are fetched in finalize() — one batch
+        later, so batch k's host finalize overlaps batch k+1's wire+compute."""
+        plan = batch.plan
+        span = batch.alleles[:, :batch.needed_end]
+        handles = {}
+        with timer.stage("h2d"):
+            # share one upload between the pair and count kernels only when
+            # both need it; otherwise each dispatch ships its own single
+            # combined wire buffer (pack + put + launch, all async)
+            both = need_dist and (need_freq or need_wc) and span.shape[1]
+            dev = transfer.upload_span(span, mesh=mesh) if both else None
+        with timer.stage("kernel"):
+            if need_dist:
+                handles["pair"] = pair_k.window_pair_counts_dispatch(
+                    dev if dev is not None else span,
+                    plan.first.astype(np.int32),
+                    plan.n_sites.astype(np.int32), mesh=mesh)
+            if (need_freq or need_wc) and span.shape[1]:
+                handles["counts"] = counts_k.site_pop_counts_dispatch(
+                    dev[:, :span.shape[1]] if dev is not None else span,
+                    fmask, mesh=mesh)
+        return batch, handles
+
+    def finalize(batch, handles):
         plan = batch.plan
         n_w = plan.n_windows
-        if n_w == 0:
-            continue
-        if batch.window_offset + n_w <= skip_windows:
-            continue                     # resume: batch fully written already
-
         sites = plan.n_sites
         good = sites >= min_sites
         mid = plan.mid(batch.positions)
         values: dict[str, np.ndarray] = {}
 
         if need_dist:
-            with timer.stage("kernel"):
-                mism, shar = pair_k.window_pair_counts(
-                    batch.dev_alleles, plan.first.astype(np.int32),
-                    sites.astype(np.int32), mesh=mesh)
+            with timer.stage("d2h"):
+                mism, shar = handles["pair"].collect()
             with timer.stage("finalize"):
                 ctx = popgen.DistStatsContext(mism, shar)
                 # analysis order matters: the reference mutates the cached
@@ -180,11 +196,8 @@ def main(argv=None) -> int:
 
         if need_freq or need_wc:
             needed = batch.needed_end
-            with timer.stage("kernel"):
-                counts = counts_k.site_pop_counts_chunked(
-                    batch.dev_alleles[:, :needed] if batch.dev_alleles is not None
-                    else batch.alleles[:, :needed],
-                    fmask, mesh=mesh)                     # [S, G, 4]
+            counts = handles["counts"].collect() if "counts" in handles \
+                else np.zeros((0, len(freq_groups), 4), np.int32)  # [S, G, 4]
             with timer.stage("finalize"):
                 if need_freq:
                     complete = (batch.alleles[:, :needed] >= 0).all(axis=0)
@@ -232,7 +245,24 @@ def main(argv=None) -> int:
             progress.update(rows=rows_written)
             if cursor is not None:
                 out.flush()
-                cursor.save(batch.window_offset + n_w, out.tell())
+                cursor.save(batch.window_offset + plan.n_windows, out.tell())
+
+    in_flight = None
+    for batch in engine.stream_windows(
+            reader, wind,
+            include=common.read_scaffold_list(args.include),
+            exclude=common.read_scaffold_list(args.exclude),
+            progress=progress, timer=timer):
+        if batch.plan.n_windows == 0:
+            continue
+        if batch.window_offset + batch.plan.n_windows <= skip_windows:
+            continue                     # resume: batch fully written already
+        cur = dispatch(batch)
+        if in_flight is not None:
+            finalize(*in_flight)
+        in_flight = cur
+    if in_flight is not None:
+        finalize(*in_flight)
 
     if cursor is not None:
         cursor.clear()

@@ -179,7 +179,10 @@ class Cursor:
 class StreamBatch:
     """One flush of completed windows over the current rolling buffer.
 
-    ``plan.first/last`` index the *buffer* arrays below (not the genome)."""
+    ``plan.first/last`` index the *buffer* arrays below (not the genome).
+    Device upload is the consumer's job (kernels/transfer.upload_span packs
+    ``alleles[:, :needed_end]`` once per flush) — a rolling device mirror
+    would re-copy the whole buffer on every chunk append and trim."""
 
     plan: W.WindowPlan
     alleles: np.ndarray            # int8 [H, B]
@@ -187,7 +190,6 @@ class StreamBatch:
     scaffold_ids: np.ndarray       # int32 [B]
     scaffold_names: list[str]      # live reader list (grows as scaffolds appear)
     window_offset: int             # windows emitted before this batch
-    dev_alleles: object = None     # int8 device array mirroring `alleles`
     needed_end: int = 0            # buffer sites referenced by this batch
 
 
@@ -206,8 +208,7 @@ def _concat_plans(pieces: list[W.WindowPlan], wind_type: str) -> W.WindowPlan:
 
 
 def stream_windows(reader, wind: dict, include=None, exclude=None,
-                   device: bool = False, mesh=None,
-                   min_flush_windows: int = 192,
+                   min_flush_windows: int = 1024,
                    max_buffer_sites: int = 4 << 20,
                    progress: Progress | None = None,
                    timer: StageTimer | None = None,
@@ -218,13 +219,16 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
     ----------
     reader : io.geno.GenoReader (positioned after the header)
     wind : resolved window params (cli.common.resolve_window_args)
-    device : maintain a device mirror of the rolling buffer (uploaded once
-        per chunk, trimmed with the host buffer) — ``batch.dev_alleles``.
-    mesh : optional jax Mesh; the device mirror is replicated over it.
     min_flush_windows : batch flushes when this many windows are complete
-        (or at EOF / when the buffer exceeds ``max_buffer_sites``).
+        (or at EOF / when the buffer exceeds ``max_buffer_sites``).  The
+        first flushes use smaller thresholds (1/4, then 1/2) so device
+        upload+compute starts while the host is still parsing — the warmup
+        ramp of the pipeline.
     """
     timer = timer or StageTimer(False)
+    flush_schedule = [max(1, min_flush_windows // 4),
+                      max(1, min_flush_windows // 2)]
+    flush_count = 0
     planner = W.IncrementalPlanner(wind, reader.scaffold_names)
     inc = set(include) if include is not None else None
     exc = set(exclude) if exclude is not None else None
@@ -233,7 +237,6 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
     buf_alleles = np.empty((H, 0), dtype=np.int8)
     buf_pos = np.empty(0, dtype=np.int64)
     buf_sids = np.empty(0, dtype=np.int32)
-    dev_buf = None
     window_offset = 0
     pending: list[W.WindowPlan] = []
     pending_windows = 0
@@ -241,15 +244,6 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
     # but stay in the buffer until the pending windows that reference them
     # are flushed (plan pieces hold buffer-relative spans)
     consumed = 0
-
-    if device:
-        import jax
-        import jax.numpy as jnp
-        from .kernels.transfer import device_alleles
-        repl = None
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            repl = NamedSharding(mesh, PartitionSpec())
 
     def chunks():
         with timer.stage("parse"):
@@ -287,8 +281,7 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         batch = StreamBatch(plan=plan, alleles=buf_alleles,
                             positions=buf_pos, scaffold_ids=buf_sids,
                             scaffold_names=reader.scaffold_names,
-                            window_offset=window_offset,
-                            dev_alleles=dev_buf, needed_end=needed)
+                            window_offset=window_offset, needed_end=needed)
         if progress:
             progress.update(windows=plan.n_windows)
         window_offset += plan.n_windows
@@ -297,13 +290,11 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         return batch
 
     def trim():
-        nonlocal buf_alleles, buf_pos, buf_sids, dev_buf, consumed
+        nonlocal buf_alleles, buf_pos, buf_sids, consumed
         if consumed > 0:
             buf_alleles = buf_alleles[:, consumed:]
             buf_pos = buf_pos[consumed:]
             buf_sids = buf_sids[consumed:]
-            if dev_buf is not None:
-                dev_buf = dev_buf[:, consumed:]
             consumed = 0
 
     def plan_step(final: bool):
@@ -325,17 +316,15 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
             if buf_pos.size else a
         buf_pos = np.concatenate([buf_pos, p]) if buf_pos.size else p
         buf_sids = np.concatenate([buf_sids, s]) if buf_sids.size else s
-        if device:
-            with timer.stage("h2d"):
-                new_dev = device_alleles(np.ascontiguousarray(a), repl)
-                dev_buf = new_dev if dev_buf is None \
-                    else jnp.concatenate([dev_buf, new_dev], axis=1)
         if progress:
             progress.update(sites=p.size)
         # plan over the new sites; flush when enough windows are ready
         plan_step(final=False)
-        if (pending_windows >= min_flush_windows
+        threshold = flush_schedule[flush_count] \
+            if flush_count < len(flush_schedule) else min_flush_windows
+        if (pending_windows >= threshold
                 or buf_pos.size > max_buffer_sites):
+            flush_count += 1
             yield make_batch()
             trim()
 

@@ -211,8 +211,18 @@ class GenoReader:
             total = self._whole.size
             if off >= total:
                 return None
-            self._whole_off = total
-            blob = self._whole[off:]
+            # yield bounded slices (not the whole file) so parsing streams
+            # and overlaps downstream upload/compute via the prefetch thread
+            end = min(off + self.chunk_bytes, total)
+            if end < total:
+                seg = self._whole[off:end]
+                hits = np.flatnonzero(seg[::-1] == ord("\n"))
+                if hits.size:
+                    end = end - int(hits[0])
+                else:
+                    end = total
+            self._whole_off = end
+            blob = self._whole[off:end]
             if blob.size and blob[-1] != ord("\n"):
                 blob = np.concatenate([blob, np.array([ord("\n")], np.uint8)])
             return blob
@@ -261,44 +271,64 @@ class GenoReader:
         self._sel_offsets = self._field_offsets[self.ind_cols]
         self._sel_widths = widths[self.ind_cols]
 
-    def parse_chunk(self, blob: bytes) -> GenoChunk | None:
-        """Parse a blob of complete lines into a GenoChunk."""
+    def _ensure_parser(self, blob) -> bool:
+        """Establish the genotype-block layout + native parser from the first
+        data line.  Must run on the consumer thread before workers parse.
+        Returns False when the blob holds no data line yet."""
         if self._field_widths is None:
-            # find first non-comment line to establish layout
             ln = first_data_line(blob)
             if ln is not None:
                 self._establish_layout(ln)
             if self._field_widths is None:
-                return None
-        if not self._native_failed:
-            if self._native is None:
-                try:
-                    from .native import NativeParser
-                    self._native = NativeParser(
-                        self.model.n_rows, self._sel_offsets,
-                        [len(o) for o in self.model.ind_order],
-                        self.model.ind_order, self._gt_block_len,
-                        self.geno_format)
-                except Exception:
-                    self._native_failed = True
-            if self._native is not None:
-                res = self._native.parse(blob)
-                if res is not None:
-                    alleles, positions, names, lines_at = res
-                    n = positions.shape[0]
-                    scaffold_ids = np.empty(n, dtype=np.int32)
-                    bounds = np.concatenate([lines_at, [n]])
-                    for k, name in enumerate(names):
-                        scaffold_ids[bounds[k]:bounds[k + 1]] = \
-                            self._scaf_id(bytes(name))
-                    return GenoChunk(alleles=alleles, positions=positions,
-                                     scaffold_ids=scaffold_ids)
+                return False
+        if not self._native_failed and self._native is None:
+            try:
+                from .native import NativeParser
+                self._native = NativeParser(
+                    self.model.n_rows, self._sel_offsets,
+                    [len(o) for o in self.model.ind_order],
+                    self.model.ind_order, self._gt_block_len,
+                    self.geno_format)
+            except Exception:
+                self._native_failed = True
+        return True
+
+    def parse_blob_raw(self, blob):
+        """Pure parse stage: blob -> (alleles, positions, names, bounds).
+
+        Touches no reader state (after ``_ensure_parser``), so it can run on
+        any worker thread; the ctypes tokenizer releases the GIL, so chunk
+        parses genuinely overlap.  ``names[k]`` spans sites
+        ``bounds[k]:bounds[k+1]``."""
+        if self._native is not None:
+            res = self._native.parse(blob)
+            if res is not None:
+                alleles, positions, names, lines_at = res
+                bounds = np.concatenate([lines_at, [positions.shape[0]]])
+                return alleles, positions, [bytes(n) for n in names], bounds
         try:
             return self._parse_chunk_fast(blob)
         except _FallbackNeeded:
             return self._parse_chunk_slow(blob)
 
-    def _parse_chunk_fast(self, blob: bytes) -> GenoChunk | None:
+    def _raw_to_chunk(self, raw) -> GenoChunk:
+        """Ordered finish stage: map scaffold names to stable ids (ids are
+        assigned in genome order, so this must run on the consumer thread,
+        in order)."""
+        alleles, positions, names, bounds = raw
+        scaffold_ids = np.empty(positions.shape[0], dtype=np.int32)
+        for k, name in enumerate(names):
+            scaffold_ids[bounds[k]:bounds[k + 1]] = self._scaf_id(name)
+        return GenoChunk(alleles=alleles, positions=positions,
+                         scaffold_ids=scaffold_ids)
+
+    def parse_chunk(self, blob: bytes) -> GenoChunk | None:
+        """Parse a blob of complete lines into a GenoChunk."""
+        if not self._ensure_parser(blob):
+            return None
+        return self._raw_to_chunk(self.parse_blob_raw(blob))
+
+    def _parse_chunk_fast(self, blob: bytes):
         """Vectorized chunk parse using only 1-D gathers.
 
         Key trick: in a well-formed file the genotype block has a fixed byte
@@ -319,10 +349,8 @@ class GenoReader:
         starts, ends = starts[keep], ends[keep]
         n = starts.size
         if n == 0:
-            return GenoChunk(
-                alleles=np.empty((self.model.n_rows, 0), np.int8),
-                positions=np.empty(0, np.int64),
-                scaffold_ids=np.empty(0, np.int32))
+            return (np.empty((self.model.n_rows, 0), np.int8),
+                    np.empty(0, np.int64), [], np.array([0], np.int64))
 
         L = self._gt_block_len
         t2 = ends - L - 1
@@ -369,12 +397,8 @@ class GenoReader:
             boundaries = np.concatenate([[0], np.flatnonzero(change) + 1])
         else:
             boundaries = np.array([0], dtype=np.int64)
-        scaffold_ids = np.empty(n, dtype=np.int32)
         bounds = np.concatenate([boundaries, [n]])
-        for k in range(boundaries.size):
-            b0, b1 = bounds[k], bounds[k + 1]
-            name = blob[starts[b0]:t1[b0]]
-            scaffold_ids[b0:b1] = self._scaf_id(bytes(name))
+        names = [bytes(blob[starts[b0]:t1[b0]]) for b0 in boundaries]
 
         # ---- decode genotypes: per-haplotype 1-D gathers + LUT
         H = self.model.n_rows
@@ -416,10 +440,9 @@ class GenoReader:
                 for a, c in enumerate(cols):
                     np.copyto(c, encoding.MISSING, where=bad)
                     alleles[rows[a], :] = c
-        return GenoChunk(alleles=alleles, positions=positions,
-                         scaffold_ids=scaffold_ids)
+        return alleles, positions, names, bounds
 
-    def _parse_chunk_slow(self, blob) -> GenoChunk:
+    def _parse_chunk_slow(self, blob):
         """Per-line fallback, matching reference parseGenoLine semantics
         (split on arbitrary whitespace, genomics.py:1884-1904)."""
         if isinstance(blob, np.ndarray):
@@ -429,11 +452,15 @@ class GenoReader:
         H = self.model.n_rows
         alleles = np.full((H, n), encoding.MISSING, dtype=np.int8)
         positions = np.empty(n, dtype=np.int64)
-        scaffold_ids = np.empty(n, dtype=np.int32)
+        names: list[bytes] = []
+        bounds_list: list[int] = []
         fmt = self.geno_format
         for i, ln in enumerate(lines):
             parts = ln.split()
-            scaffold_ids[i] = self._scaf_id(bytes(parts[0]))
+            name = bytes(parts[0])
+            if not names or names[-1] != name:
+                names.append(name)
+                bounds_list.append(i)
             positions[i] = int(parts[1])
             gts = parts[2:]
             for j, col in enumerate(self.ind_cols):
@@ -444,19 +471,51 @@ class GenoReader:
                 except ValueError:
                     codes = np.full((1, rows.size), encoding.MISSING, np.int8)
                 alleles[rows, i] = codes[0]
-        return GenoChunk(alleles=alleles, positions=positions,
-                         scaffold_ids=scaffold_ids)
+        bounds = np.array(bounds_list + [n], dtype=np.int64)
+        return alleles, positions, names, bounds
 
     # ------------------------------------------------------------ drivers
 
-    def iter_chunks(self):
-        while True:
+    def iter_chunks(self, threads: int | None = None):
+        """Yield parsed chunks in order.
+
+        With ``threads`` > 1 (default: min(4, cpu count) when the native
+        tokenizer is active), blob parses run on a thread pool — the ctypes
+        tokenizer releases the GIL, so chunk parses genuinely overlap.  Blob
+        slicing and scaffold-id assignment stay on the consumer thread, so
+        ordering and id stability are preserved by construction."""
+        if threads is None:
+            threads = min(4, os.cpu_count() or 1)
+        # the first blob must be parsed serially: it establishes the
+        # genotype-block layout the workers depend on
+        blob = self._read_chunk_lines()
+        while blob is not None and not self._ensure_parser(blob):
             blob = self._read_chunk_lines()
-            if blob is None:
-                return
-            chunk = self.parse_chunk(blob)
-            if chunk is not None and chunk.positions.size:
-                yield chunk
+        if blob is None:
+            return
+        if threads <= 1:
+            while blob is not None:
+                chunk = self._raw_to_chunk(self.parse_blob_raw(blob))
+                if chunk.positions.size:
+                    yield chunk
+                blob = self._read_chunk_lines()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+        from collections import deque
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            futs = deque()
+            futs.append(ex.submit(self.parse_blob_raw, blob))
+            exhausted = False
+            while futs:
+                while not exhausted and len(futs) < threads + 1:
+                    nxt = self._read_chunk_lines()
+                    if nxt is None:
+                        exhausted = True
+                        break
+                    futs.append(ex.submit(self.parse_blob_raw, nxt))
+                chunk = self._raw_to_chunk(futs.popleft().result())
+                if chunk.positions.size:
+                    yield chunk
 
     def read_all(self) -> GenoData:
         chunks = list(self.iter_chunks())

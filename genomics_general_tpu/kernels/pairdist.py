@@ -17,9 +17,18 @@ one-hot factors (f32 accumulation => exact integers):
 The float64 division and all block/nan reductions happen on host
 (stats/popgen.py) to stay bit-identical with the reference.
 
-Window batching: windows are contiguous spans of the chunk's site axis; a
-batch gathers B spans padded to S_max (padding index 0 with valid=False, so
-padded sites contribute nothing).
+Transfer discipline (the target link runs at ~60 MB/s up / ~20 MB/s down
+with ~24 ms round-trips, so wire bytes dominate):
+
+* host input spans are uploaded bit-packed and padded to power-of-two site
+  buckets (kernels/transfer.upload_span) — one upload per flush batch, no
+  rolling device mirror;
+* results come back as the **upper triangle only, uint16** — both matrices
+  are symmetric and bounded by the window length, a 3.8x reduction vs full
+  int32 matrices; the host mirrors the triangle back into [W, H, H];
+* all device calls for a batch are dispatched before any result is fetched,
+  and the dispatch/collect split lets CLIs overlap batch k's host finalize
+  with batch k+1's upload + compute.
 """
 
 from __future__ import annotations
@@ -29,6 +38,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from . import transfer
 
 
 @jax.jit
@@ -74,11 +85,13 @@ def gather_window_batch(alleles: jnp.ndarray, first: jnp.ndarray,
     return wa.transpose(1, 0, 2), valid
 
 
-def long_span_pair_counts(alleles_dev: jnp.ndarray, first: int, last: int,
+def long_span_pair_counts(alleles_dev, first: int, last: int,
                           block: int = 1 << 18):
     """Pairwise counts over one very long span (e.g. distMat --windType cat):
     stream site blocks through the batched kernel and accumulate on host.
     Avoids the reference's materialize-the-genome RAM cliff (README.md:214)."""
+    if isinstance(alleles_dev, np.ndarray):
+        alleles_dev = transfer.device_alleles(alleles_dev)
     H = alleles_dev.shape[0]
     mism = np.zeros((H, H), dtype=np.int64)
     shar = np.zeros((H, H), dtype=np.int64)
@@ -92,15 +105,30 @@ def long_span_pair_counts(alleles_dev: jnp.ndarray, first: int, last: int,
     return mism, shar
 
 
-def _pack_counts(m, s, s_max):
-    # One fetch per batch, packed [B, 2*H*H]: device->host links have high
-    # fixed latency, and keeping the (possibly sharded) batch axis leading
-    # avoids on-device relayout / collectives.  Counts are bounded by s_max,
-    # so uint16 halves the transfer when windows fit (they always do for
-    # bucketed window batches; cat-mode long spans go through
-    # long_span_pair_counts instead).
-    out = jnp.stack([m, s], axis=1).reshape(m.shape[0], -1)
+def _tri_pack(m, s, s_max):
+    # Upper-triangle-only fetch: both matrices are symmetric, so ship
+    # H(H+1)/2 entries each instead of H^2, as uint16 when counts fit
+    # (they do for bucketed window batches; cat-mode long spans go through
+    # long_span_pair_counts).  One packed array per batch: the device->host
+    # link has high fixed latency, so one fetch beats four.
+    H = m.shape[1]
+    iu, ju = np.triu_indices(H)            # trace-time constants
+    out = jnp.concatenate([m[:, iu, ju], s[:, iu, ju]], axis=1)  # [B, 2T]
     return out.astype(jnp.uint16) if s_max < (1 << 16) else out
+
+
+def _tri_unpack(host: np.ndarray, b: int, H: int):
+    T = H * (H + 1) // 2
+    iu, ju = np.triu_indices(H)
+    mt = host[:b, :T].astype(np.int32)
+    st = host[:b, T:].astype(np.int32)
+    mism = np.empty((b, H, H), dtype=np.int32)
+    shar = np.empty((b, H, H), dtype=np.int32)
+    mism[:, iu, ju] = mt
+    mism[:, ju, iu] = mt
+    shar[:, iu, ju] = st
+    shar[:, ju, iu] = st
+    return mism, shar
 
 
 @functools.partial(jax.jit, static_argnames=("s_max",))
@@ -108,7 +136,70 @@ def _gathered_pair_counts(alleles: jnp.ndarray, first: jnp.ndarray,
                           n_sites: jnp.ndarray, s_max: int):
     wa, valid = gather_window_batch(alleles, first, n_sites, s_max)
     m, s = pairwise_counts(wa, valid)
-    return _pack_counts(m, s, s_max)
+    return _tri_pack(m, s, s_max)
+
+
+def _next_pow2(n: int, lo: int) -> int:
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sp", "h", "wp", "s_max", "chunk"))
+def _fused_flush_pair_counts(buf: jnp.ndarray, sp: int, h: int, wp: int,
+                             s_max: int, chunk: int):
+    """One-transfer flush kernel: ``buf`` is the single uint8 wire buffer
+    ``[packed allele planes | first int32[wp] | n_sites int32[wp]]``.
+    Unpacks the span, then maps gather+pairwise+tri-pack over window chunks
+    (``lax.map`` keeps the one-hot intermediate bounded).  Returns
+    [wp, 2T] packed counts — fetched as ONE transfer."""
+    base = h * (sp // 4 + sp // 8)
+    alleles = transfer.unpack_span(buf[:base], sp, h)            # int8 [h, sp]
+    meta = buf[base:base + 8 * wp].reshape(2 * wp, 4)
+    meta = jax.lax.bitcast_convert_type(meta, jnp.int32)         # [2*wp]
+    fi, ns = meta[:wp], meta[wp:]
+
+    def one(args):
+        f, n = args
+        wa, valid = gather_window_batch(alleles, f, n, s_max)
+        m, s = pairwise_counts(wa, valid)
+        return _tri_pack(m, s, s_max)
+
+    n_ch = wp // chunk
+    out = jax.lax.map(one, (fi.reshape(n_ch, chunk),
+                            ns.reshape(n_ch, chunk)))
+    return out.reshape(wp, out.shape[-1])
+
+
+def _dispatch_fused(alleles: np.ndarray, first: np.ndarray,
+                    n_sites: np.ndarray) -> "PairCountsHandle":
+    """Host-span fast path: exactly one H2D transfer and one D2H transfer per
+    flush batch (the link's per-transfer fixed cost is ~13-25 ms)."""
+    W = first.shape[0]
+    H = alleles.shape[0]
+    handle = PairCountsHandle(W, H, [])
+    if W == 0:
+        return handle
+    span_buf, Sp = transfer.pack_span(alleles)
+    s_need = max(int(n_sites.max()), 1)
+    s_max = min(_next_pow2(s_need, 1024), Sp)
+    wp = _next_pow2(W, 8)
+    # chunk the window axis so the [chunk, H, s_max, 4] one-hot stays small:
+    # measured on the target TPU, chunks at/above 256 windows fall off a
+    # fusion cliff (0.9s vs 0.06s per 512-window flush at chunk 128)
+    chunk = min(wp, 128)
+    while chunk > 8 and chunk * H * s_max > (1 << 26):
+        chunk //= 2
+    meta = np.zeros(2 * wp, np.int32)
+    meta[:W] = first
+    meta[wp:wp + W] = n_sites
+    buf = np.concatenate([span_buf, meta.view(np.uint8)])
+    out = _fused_flush_pair_counts(jax.device_put(buf), Sp, H, wp,
+                                   s_max, chunk)
+    handle.pending.append((np.arange(W), W, out))
+    return handle
 
 
 @functools.lru_cache(maxsize=8)
@@ -124,34 +215,60 @@ def _sharded_gathered_pair_counts(mesh):
                        out_shardings=batch)
     def fn(alleles, first, n_sites, s_max):
         # constraints (not in_shardings): inputs may arrive replicated
-        # (engine's rolling device buffer) or as host arrays
+        # (upload_span's replicated placement) or as host arrays
         first = jax.lax.with_sharding_constraint(first, batch)
         n_sites = jax.lax.with_sharding_constraint(n_sites, batch)
         wa, valid = gather_window_batch(alleles, first, n_sites, s_max)
         m, s = pairwise_counts(wa, valid)
-        return _pack_counts(m, s, s_max)
+        return _tri_pack(m, s, s_max)
 
     return fn
 
 
-def window_pair_counts(alleles_dev: jnp.ndarray, first: np.ndarray,
-                       n_sites: np.ndarray, batch_size: int = 1024,
-                       bucket_rounding: int = 1024, mesh=None):
-    """Host driver: compute pairwise counts for all windows.
+class PairCountsHandle:
+    """In-flight pair-count batches: device work is dispatched, results not
+    yet fetched.  ``collect()`` blocks on the transfers and returns numpy
+    (mismatch [W, H, H], shared [W, H, H]) in window order."""
 
-    Windows are bucketed by padded length (rounded up to ``bucket_rounding``)
-    to bound recompilation and dispatched in fixed-size batches.  All device
-    calls are launched asynchronously before any result is fetched, so
-    host<->device latency overlaps with compute.  With a ``mesh``, each batch
-    is sharded data-parallel over the mesh devices.  Returns numpy
-    (mismatch [W, H, H], shared [W, H, H]) in window order.
+    def __init__(self, W: int, H: int, pending: list):
+        self.W, self.H, self.pending = W, H, pending
+
+    def collect(self):
+        mism = np.empty((self.W, self.H, self.H), dtype=np.int32)
+        shar = np.empty((self.W, self.H, self.H), dtype=np.int32)
+        for sel, b, ms in self.pending:
+            host = np.asarray(ms)
+            m, s = _tri_unpack(host, b, self.H)
+            mism[sel] = m
+            shar[sel] = s
+        self.pending = []
+        return mism, shar
+
+
+def window_pair_counts_dispatch(alleles, first: np.ndarray,
+                                n_sites: np.ndarray, batch_size: int = 1024,
+                                bucket_rounding: int = 1024,
+                                mesh=None) -> PairCountsHandle:
+    """Dispatch pairwise counts for all windows without fetching results.
+
+    ``alleles`` may be a host int8 [H, S] span (uploaded bit-packed, padded
+    to a power-of-two site bucket) or an existing device array.  Windows are
+    bucketed by padded length (rounded up to ``bucket_rounding``) to bound
+    recompilation and dispatched in power-of-two batches.  With a ``mesh``,
+    each batch is sharded data-parallel over the mesh devices.
     """
     W = first.shape[0]
-    H = alleles_dev.shape[0]
-    mism = np.empty((W, H, H), dtype=np.int32)
-    shar = np.empty((W, H, H), dtype=np.int32)
+    H = alleles.shape[0]
+    if isinstance(alleles, np.ndarray) and mesh is None \
+            and transfer._packed_enabled():
+        return _dispatch_fused(alleles, first, n_sites)
+    handle = PairCountsHandle(W, H, [])
     if W == 0:
-        return mism, shar
+        return handle
+    if isinstance(alleles, np.ndarray):
+        alleles_dev = transfer.upload_span(alleles, mesh=mesh)
+    else:
+        alleles_dev = alleles
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     fn = _sharded_gathered_pair_counts(mesh) if mesh is not None \
         else _gathered_pair_counts
@@ -159,7 +276,6 @@ def window_pair_counts(alleles_dev: jnp.ndarray, first: np.ndarray,
         bucket_rounding,
         ((n_sites + bucket_rounding - 1) // bucket_rounding) * bucket_rounding)
     order = np.argsort(padded, kind="stable")
-    pending = []
     i = 0
     while i < W:
         j = i
@@ -179,10 +295,16 @@ def window_pair_counts(alleles_dev: jnp.ndarray, first: np.ndarray,
         f[:b] = first[sel]
         ns[:b] = n_sites[sel]
         ms = fn(alleles_dev, jnp.asarray(f), jnp.asarray(ns), s_max)
-        pending.append((sel, b, bsz, ms))
+        handle.pending.append((sel, b, ms))
         i = j
-    for sel, b, bsz, ms in pending:
-        host = np.asarray(ms).astype(np.int32, copy=False).reshape(bsz, 2, H, H)
-        mism[sel] = host[:b, 0]
-        shar[sel] = host[:b, 1]
-    return mism, shar
+    return handle
+
+
+def window_pair_counts(alleles, first: np.ndarray, n_sites: np.ndarray,
+                       batch_size: int = 1024, bucket_rounding: int = 1024,
+                       mesh=None):
+    """Dispatch + collect in one call.  Returns numpy
+    (mismatch [W, H, H], shared [W, H, H]) in window order."""
+    return window_pair_counts_dispatch(
+        alleles, first, n_sites, batch_size=batch_size,
+        bucket_rounding=bucket_rounding, mesh=mesh).collect()
