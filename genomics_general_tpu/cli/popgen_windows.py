@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     from ..jaxconfig import enable_compilation_cache
+    from ..parallel import multihost
+    multihost.maybe_initialize()     # must precede any XLA backend touch
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
     wind = common.resolve_window_args(args)
@@ -119,8 +121,27 @@ def main(argv=None) -> int:
 
     head = "windowID,scaffold,start,end,mid,sites," if args.addWindowID \
         else "scaffold,start,end,mid,sites,"
-    out, skip_windows, cursor = common.open_resumable_out(
-        args, head + ",".join(stats) + "\n")
+    header_line = head + ",".join(stats) + "\n"
+
+    n_procs = multihost.process_count()
+    if n_procs > 1:
+        # per-host scaffold sharding; rows gathered to an ordered host-0
+        # writer at the end (parallel/multihost.py)
+        assert not args.resume, "--resume is not supported in multi-host runs"
+        assert not (args.addWindowID and wind["windType"] != "predefined"), \
+            "--addWindowID numbering is per-host in sharded runs; use " \
+            "predefined windows (IDs from the file) instead"
+        shard_pred = multihost.shard_predicate(n_procs,
+                                               multihost.process_index())
+        if wind.get("windCoords"):
+            wind["windCoords"] = [r for r in wind["windCoords"]
+                                  if shard_pred(r[0])]
+        mh_writer = multihost.MultiHostWriter()
+        out, skip_windows, cursor = None, 0, None
+    else:
+        shard_pred, mh_writer = None, None
+        out, skip_windows, cursor = common.open_resumable_out(
+            args, header_line)
 
     # popFreq: one combined mask over the row groups (incl. ungrouped rows)
     if need_freq or need_wc:
@@ -224,8 +245,9 @@ def main(argv=None) -> int:
                 row = []
                 if args.addWindowID:
                     row.append(str(plan.ids[w]))
-                row.append(batch.scaffold_names[plan.scaffold_id[w]]
-                           if plan.scaffold_id[w] >= 0 else "None")
+                scaf_name = batch.scaffold_names[plan.scaffold_id[w]] \
+                    if plan.scaffold_id[w] >= 0 else "None"
+                row.append(scaf_name)
                 row.append(str(int(plan.start[w])))
                 row.append(str(int(plan.end[w])))
                 row.append(writers.fmt_int_or_nan(mid[w]))
@@ -240,7 +262,11 @@ def main(argv=None) -> int:
                         row.append(writers.fmt_int_or_nan(v) if v == v else "nan")
                     else:
                         row.append(writers.fmt_float(values[s][w], rt))
-                out.write(",".join(row) + "\n")
+                text = ",".join(row) + "\n"
+                if mh_writer is not None:
+                    mh_writer.write_row(scaf_name, text)
+                else:
+                    out.write(text)
                 rows_written += 1
             progress.update(rows=rows_written)
             if cursor is not None:
@@ -252,7 +278,7 @@ def main(argv=None) -> int:
             reader, wind,
             include=common.read_scaffold_list(args.include),
             exclude=common.read_scaffold_list(args.exclude),
-            progress=progress, timer=timer):
+            progress=progress, timer=timer, scaffold_pred=shard_pred):
         if batch.plan.n_windows == 0:
             continue
         if batch.window_offset + batch.plan.n_windows <= skip_windows:
@@ -264,9 +290,15 @@ def main(argv=None) -> int:
     if in_flight is not None:
         finalize(*in_flight)
 
-    if cursor is not None:
+    if mh_writer is not None:
+        out = writers.open_out(args.outFile) \
+            if multihost.process_index() == 0 else None
+        mh_writer.finish(out, header_line, reader.scaffold_names)
+        if args.outFile and out is not None:
+            out.close()
+    elif cursor is not None:
         cursor.clear()
-    if args.outFile:
+    if args.outFile and out is not None and mh_writer is None:
         out.close()
     progress.close()
     timer.report()

@@ -212,7 +212,8 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
                    max_buffer_sites: int = 4 << 20,
                    progress: Progress | None = None,
                    timer: StageTimer | None = None,
-                   prefetch_depth: int = 2):
+                   prefetch_depth: int = 2,
+                   scaffold_pred=None):
     """Yield :class:`StreamBatch` objects in window order.
 
     Parameters
@@ -224,6 +225,9 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         first flushes use smaller thresholds (1/4, then 1/2) so device
         upload+compute starts while the host is still parsing — the warmup
         ramp of the pipeline.
+    scaffold_pred : optional callable(name) -> bool; scaffolds it rejects
+        are dropped (multi-host input sharding — each host keeps only the
+        scaffolds it owns, parallel/multihost.py).
     """
     timer = timer or StageTimer(False)
     flush_schedule = [max(1, min_flush_windows // 4),
@@ -260,12 +264,13 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         if prefetch_depth else chunks()
 
     def filter_chunk(chunk):
-        if inc is None and exc is None:
+        if inc is None and exc is None and scaffold_pred is None:
             return chunk.alleles, chunk.positions, chunk.scaffold_ids
         names = reader.scaffold_names
         keep = np.ones(chunk.positions.shape[0], dtype=bool)
         sid_ok = np.array([(inc is None or n in inc)
                            and (exc is None or n not in exc)
+                           and (scaffold_pred is None or scaffold_pred(n))
                            for n in names])
         keep &= sid_ok[chunk.scaffold_ids]
         if keep.all():

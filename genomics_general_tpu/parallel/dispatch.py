@@ -17,12 +17,18 @@ import os
 
 
 def default_mesh():
-    """A 1-D 'data' Mesh over all local devices, or None on a single chip."""
+    """A 1-D 'data' Mesh over the *local* devices, or None on a single chip.
+
+    In multi-host runs the kernel mesh is local-only: the input is sharded
+    across hosts at the scaffold level (parallel/multihost.py), so each
+    host's window batches live on its own devices; global collectives are
+    reserved for genome-wide accumulators and the final gather."""
     if os.environ.get("GGT_NO_MESH") == "1":
         return None
     import jax
-    devs = jax.devices()
+    devs = jax.local_devices()
     if len(devs) < 2:
         return None
-    from .mesh import make_mesh
-    return make_mesh()
+    from .mesh import Mesh
+    import numpy as np
+    return Mesh(np.array(devs), ("data",))

@@ -1,0 +1,123 @@
+"""Multi-host execution: jax.distributed init, per-host input sharding,
+host-0 ordered output.
+
+The reference parallelizes within one node via a process pool + sorter
+thread (/root/reference/popgenWindows.py:386-421); there is no inter-node
+capability.  This module supplies the TPU-native multi-host analog
+(SURVEY §2.3 / §5 "distributed backend"):
+
+* ``jax.distributed.initialize`` (from env or explicit args) brings up the
+  global runtime; collectives ride ICI within a slice and DCN across hosts
+  (gloo on the CPU test fabric),
+* **input sharding**: each host parses the shared input and keeps only the
+  scaffolds it owns — ownership is a stable hash of the scaffold name, so
+  every host agrees without coordination and ownership is known before any
+  data is read (required for predefined window lists),
+* each host runs the normal single-host streaming pipeline on its scaffold
+  subset; per-window rows stay in host-local per-scaffold buffers,
+* **host-0 ordered writer**: rows are allgathered at the end and written by
+  process 0 grouped by scaffold in genome (file) order — bit-identical to a
+  single-host run (window order within a scaffold is deterministic by
+  construction, so no sorter is needed),
+* genome-wide accumulators (SFS, jackknife partials) merge with ``psum``
+  (parallel/mesh.py); per-window stats never need cross-host traffic.
+
+Tested end-to-end with two real processes on the CPU fabric in
+tests/test_multihost.py (2-process CSV == 1-process CSV).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import zlib
+
+
+def maybe_initialize() -> None:
+    """Initialize jax.distributed from GGT_* env vars if present.
+
+    GGT_COORDINATOR=host:port GGT_NUM_PROCS=N GGT_PROC_ID=i — explicit
+    single-machine / ad-hoc clusters.  On managed clusters (where JAX can
+    auto-detect), set GGT_DIST_AUTO=1 instead.
+    """
+    import jax
+    if os.environ.get("GGT_COORDINATOR"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["GGT_COORDINATOR"],
+            num_processes=int(os.environ["GGT_NUM_PROCS"]),
+            process_id=int(os.environ["GGT_PROC_ID"]))
+    elif os.environ.get("GGT_DIST_AUTO") == "1":
+        jax.distributed.initialize()
+
+
+def process_count() -> int:
+    import jax
+    return jax.process_count()
+
+
+def process_index() -> int:
+    import jax
+    return jax.process_index()
+
+
+def owner(scaffold_name: str, n_procs: int) -> int:
+    """Stable scaffold -> host assignment (crc32: identical on every host,
+    no coordination, known before reading any data)."""
+    return zlib.crc32(scaffold_name.encode()) % n_procs
+
+
+def shard_predicate(n_procs: int, rank: int):
+    """Predicate(scaffold_name) -> bool: does this host own the scaffold?"""
+    return lambda name: owner(name, n_procs) == rank
+
+
+def allgather_bytes(payload: bytes) -> list[bytes]:
+    """Gather one bytes blob from every process (returned in rank order)."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    lengths = multihost_utils.process_allgather(
+        np.array([arr.size], dtype=np.int64))
+    max_len = int(lengths.max())
+    padded = np.zeros(max_len, dtype=np.uint8)
+    padded[:arr.size] = arr
+    gathered = multihost_utils.process_allgather(padded)
+    return [bytes(gathered[i, :int(lengths[i, 0])])
+            for i in range(gathered.shape[0])]
+
+
+class MultiHostWriter:
+    """Per-scaffold row buffers merged to an ordered host-0 CSV.
+
+    Each host writes only rows for scaffolds it owns; ``finish`` allgathers
+    the buffers and process 0 writes blocks in genome order.  The gathered
+    scaffold orders are merged by first-appearance (every host observes the
+    full scaffold sequence of the shared input, so host 0's order is already
+    the genome order)."""
+
+    def __init__(self):
+        self.blocks: dict[str, list[str]] = {}
+
+    def write_row(self, scaffold: str, line: str) -> None:
+        self.blocks.setdefault(scaffold, []).append(line)
+
+    def finish(self, out, header: str, scaffold_order: list[str]) -> None:
+        """Gather all hosts' blocks; process 0 writes header + rows."""
+        payload = pickle.dumps(
+            {k: "".join(v) for k, v in self.blocks.items()},
+            protocol=pickle.HIGHEST_PROTOCOL)
+        gathered = allgather_bytes(payload)
+        if process_index() != 0:
+            return
+        merged: dict[str, str] = {}
+        for blob in gathered:
+            merged.update(pickle.loads(blob))
+        out.write(header)
+        for name in scaffold_order:
+            if name in merged:
+                out.write(merged.pop(name))
+        # scaffolds only present in predefined window lists but absent from
+        # host-0's observed order: write in deterministic name order
+        for name in sorted(merged):
+            out.write(merged[name])
