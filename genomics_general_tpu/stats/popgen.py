@@ -169,8 +169,55 @@ def cluster_sizes(dist_block: np.ndarray, max_dist: float) -> list[int]:
     return sizes
 
 
+def batch_cluster_sizes(dist_blocks: np.ndarray, max_dist: float):
+    """Greedy haplotype clustering (genomics.py:1239-1261) vectorized over
+    the window axis.
+
+    dist_blocks: [W, n, n].  Returns (sizes [W, n] int64 — recorded cluster
+    sizes left-justified, zero-padded — and ones [W] int64 — how many
+    trailing size-1 clusters the reference's break step appends).
+
+    Exactly replicates the scalar greedy loop: each iteration picks the
+    first row with the maximal match count over the remaining submatrix;
+    counts > 1 are recorded and the matched rows removed; otherwise every
+    remaining row becomes a singleton and the window is done.
+    """
+    W, n, _ = dist_blocks.shape
+    with np.errstate(invalid="ignore"):
+        match = dist_blocks <= max_dist                    # NaN -> False
+    alive = np.ones((W, n), dtype=bool)
+    done = np.zeros(W, dtype=bool)
+    sizes = np.zeros((W, n), dtype=np.int64)
+    ones = np.zeros(W, dtype=np.int64)
+    ptr = np.zeros(W, dtype=np.int64)
+    rows = np.arange(W)
+    for _ in range(n):
+        if done.all():
+            break
+        sub = match & alive[:, None, :] & alive[:, :, None]
+        rowsum = sub.sum(axis=2)                           # [W, n]
+        rowsum[~alive] = -1
+        most = rowsum.argmax(axis=1)                       # first max, like argmax
+        matches = rowsum[rows, most]
+        act = ~done
+        big = act & (matches > 1)
+        if big.any():
+            sizes[rows[big], ptr[big]] = matches[big]
+            ptr[big] += 1
+            alive[big] &= ~sub[rows[big], most[big]]
+            # windows whose matrix emptied out stop (while match.shape[0] > 0)
+            emptied = big & ~alive.any(axis=1)
+            done |= emptied
+        small = act & (matches <= 1)
+        if small.any():
+            ones[small] = alive[small].sum(axis=1)
+            done |= small
+    return sizes, ones
+
+
 def h12_stats(ctx: DistStatsContext, row_group: list, max_dist: float) -> dict:
-    """Reference Alignment.H12stats (genomics.py:1079-1098) per window."""
+    """Reference Alignment.H12stats (genomics.py:1079-1098), window-axis
+    vectorized (the scalar greedy loop is batch_cluster_sizes)."""
     dist = ctx.dist
     W = dist.shape[0]
     groups = np.array(["" if g is None else g for g in row_group])
@@ -178,22 +225,24 @@ def h12_stats(ctx: DistStatsContext, row_group: list, max_dist: float) -> dict:
     out = {}
     for p in pops:
         idx = np.flatnonzero(groups == p)
-        H1 = np.empty(W)
-        H12 = np.empty(W)
-        H2 = np.empty(W)
-        for w in range(W):
-            sizes = np.array(cluster_sizes(dist[w][np.ix_(idx, idx)], max_dist))
-            freq = sizes / sizes.sum()
-            h1 = (freq ** 2).sum()
-            if len(freq) > 1:
-                h12 = h1 + 2 * freq[0] * freq[1]
-                h2 = (freq[1:] ** 2).sum()
-            else:
-                h12, h2 = h1, 0.0
-            H1[w], H12[w], H2[w] = h1, h12, h2
-        out["H1_" + p] = H1
-        out["H12_" + p] = H12
-        out["H2_" + p] = H2
+        blocks = dist[:, idx[:, None], idx[None, :]]
+        sizes, ones = batch_cluster_sizes(blocks, max_dist)
+        n_rec = (sizes > 0).sum(axis=1)
+        total = (sizes.sum(axis=1) + ones).astype(np.float64)
+        freq = sizes / total[:, None]
+        one_f = np.where(ones > 0, 1.0 / total, 0.0)
+        h1 = (freq ** 2).sum(axis=1) + ones * one_f ** 2
+        # first two recorded frequencies (sizes are recorded non-increasing;
+        # trailing singletons fill in when fewer than two were recorded)
+        f0 = np.where(n_rec >= 1, freq[:, 0], one_f)
+        f1 = np.where(n_rec >= 2, freq[:, 1] if sizes.shape[1] > 1 else 0.0,
+                      np.where(n_rec + ones >= 2, one_f, 0.0))
+        n_clusters = n_rec + ones
+        h12 = np.where(n_clusters > 1, h1 + 2 * f0 * f1, h1)
+        h2 = np.where(n_clusters > 1, h1 - f0 ** 2, 0.0)
+        out["H1_" + p] = h1
+        out["H12_" + p] = h12
+        out["H2_" + p] = h2
     return out
 
 
