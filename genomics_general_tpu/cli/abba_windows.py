@@ -54,6 +54,14 @@ def build_parser(full_panel: bool) -> argparse.ArgumentParser:
 
 
 def main(argv=None, full_panel: bool = False) -> int:
+    import os
+
+    use_device = os.environ.get("GGT_ABBA_HOST") != "1"
+    if use_device:
+        # the fused window reduction fetches [W, K] float64 sums instead of
+        # O(sites) per-site counts (kernels/abba.py); needs x64 enabled
+        import jax
+        jax.config.update("jax_enable_x64", True)
     args = build_parser(full_panel).parse_args(argv)
     wind = common.resolve_window_args(args, wind_coord_cols=4)
     min_sites = wind["minSites"]
@@ -100,11 +108,24 @@ def main(argv=None, full_panel: bool = False) -> int:
     timer = engine.StageTimer(args.profile)
     progress = engine.Progress(args.verbose)
 
+    mode = "polarize" if polarize else ("fixed" if fixed else "minor")
+    if use_device:
+        from ..kernels import abba as abba_k
+
     def dispatch(batch):
+        plan = batch.plan
         span = batch.alleles[:, :batch.needed_end]
         with timer.stage("kernel"):
-            handle = counts_k.site_pop_counts_dispatch(span, mask, mesh=mesh) \
-                if span.shape[1] else None
+            if not span.shape[1]:
+                handle = None
+            elif use_device:
+                handle = abba_k.window_abba_sums_dispatch(
+                    span, plan.first.astype(np.int32),
+                    plan.n_sites.astype(np.int32), mask, n_pops,
+                    min_data, mode, full_panel, mesh=mesh)
+            else:
+                handle = counts_k.site_pop_counts_dispatch(span, mask,
+                                                           mesh=mesh)
         return batch, handle
 
     def finalize(batch, handle):
@@ -112,11 +133,20 @@ def main(argv=None, full_panel: bool = False) -> int:
         n_w = plan.n_windows
         sites = plan.n_sites
         mid = plan.mid(batch.positions)
-        with timer.stage("d2h"):
-            counts = handle.collect() if handle is not None \
-                else np.zeros((0, 5, 4), np.int32)                 # [S,5,4]
-        counts_pops = [counts[:, k, :] for k in range(4)]
-        counts_union = counts[:, 4, :]
+        if use_device:
+            with timer.stage("d2h"):
+                sums = handle.collect() if handle is not None \
+                    else np.zeros((0, 1))
+            res_all = abba_k.finalize_window_stats(
+                sums, abba_k.FULL_CHANNELS if full_panel
+                else abba_k.CLASSIC_CHANNELS, full_panel) \
+                if handle is not None else []
+        else:
+            with timer.stage("d2h"):
+                counts = handle.collect() if handle is not None \
+                    else np.zeros((0, 5, 4), np.int32)             # [S,5,4]
+            counts_pops = [counts[:, k, :] for k in range(4)]
+            counts_union = counts[:, 4, :]
 
         with timer.stage("finalize"):
             rows_written = 0
@@ -126,10 +156,13 @@ def main(argv=None, full_panel: bool = False) -> int:
                 n_sites_w = int(sites[w])
                 sites_used: object = np.nan
                 if n_sites_w >= min_sites:
-                    f, l = int(plan.first[w]), int(plan.last[w])
-                    res = abbababa.window_four_pop_panel(
-                        [c[f:l] for c in counts_pops], counts_union[f:l],
-                        n_pops, min_data, polarize, fixed, full_panel)
+                    if use_device:
+                        res = res_all[w]
+                    else:
+                        f, l = int(plan.first[w]), int(plan.last[w])
+                        res = abbababa.window_four_pop_panel(
+                            [c[f:l] for c in counts_pops], counts_union[f:l],
+                            n_pops, min_data, polarize, fixed, full_panel)
                     sites_used = res["sitesUsed"]
                     if sites_used >= min_sites:
                         is_good = True

@@ -155,11 +155,7 @@ def _fused_flush_pair_counts(buf: jnp.ndarray, sp: int, h: int, wp: int,
     Unpacks the span, then maps gather+pairwise+tri-pack over window chunks
     (``lax.map`` keeps the one-hot intermediate bounded).  Returns
     [wp, 2T] packed counts — fetched as ONE transfer."""
-    base = h * (sp // 4 + sp // 8)
-    alleles = transfer.unpack_span(buf[:base], sp, h)            # int8 [h, sp]
-    meta = buf[base:base + 8 * wp].reshape(2 * wp, 4)
-    meta = jax.lax.bitcast_convert_type(meta, jnp.int32)         # [2*wp]
-    fi, ns = meta[:wp], meta[wp:]
+    alleles, fi, ns = transfer.unpack_flush_buffer(buf, sp, h, wp)
 
     def one(args):
         f, n = args
@@ -182,20 +178,16 @@ def _dispatch_fused(alleles: np.ndarray, first: np.ndarray,
     handle = PairCountsHandle(W, H, [])
     if W == 0:
         return handle
-    span_buf, Sp = transfer.pack_span(alleles)
     s_need = max(int(n_sites.max()), 1)
-    s_max = min(_next_pow2(s_need, 1024), Sp)
     wp = _next_pow2(W, 8)
+    buf, Sp = transfer.pack_flush_buffer(alleles, first, n_sites, wp)
+    s_max = min(_next_pow2(s_need, 1024), Sp)
     # chunk the window axis so the [chunk, H, s_max, 4] one-hot stays small:
     # measured on the target TPU, chunks at/above 256 windows fall off a
     # fusion cliff (0.9s vs 0.06s per 512-window flush at chunk 128)
     chunk = min(wp, 128)
     while chunk > 8 and chunk * H * s_max > (1 << 26):
         chunk //= 2
-    meta = np.zeros(2 * wp, np.int32)
-    meta[:W] = first
-    meta[wp:wp + W] = n_sites
-    buf = np.concatenate([span_buf, meta.view(np.uint8)])
     out = _fused_flush_pair_counts(jax.device_put(buf), Sp, H, wp,
                                    s_max, chunk)
     handle.pending.append((np.arange(W), W, out))

@@ -151,6 +151,30 @@ def _unpack_span_sharded(mesh):
     return fn
 
 
+def pack_flush_buffer(alleles: np.ndarray, first: np.ndarray,
+                      n_sites: np.ndarray, wp: int,
+                      min_bucket: int = 1 << 16):
+    """One wire buffer for a whole flush: packed allele planes + window
+    metadata ``[planes | first int32[wp] | n_sites int32[wp]]``.
+    Returns (buffer uint8 [.], Sp)."""
+    span_buf, Sp = pack_span(alleles, min_bucket)
+    W = first.shape[0]
+    meta = np.zeros(2 * wp, np.int32)
+    meta[:W] = first
+    meta[wp:wp + W] = n_sites
+    return np.concatenate([span_buf, meta.view(np.uint8)]), Sp
+
+
+def unpack_flush_buffer(buf: jnp.ndarray, sp: int, h: int, wp: int):
+    """Device-side inverse of :func:`pack_flush_buffer`:
+    (alleles int8 [h, sp], first int32 [wp], n_sites int32 [wp])."""
+    base = h * (sp // 4 + sp // 8)
+    alleles = unpack_span(buf[:base], sp, h)
+    meta = buf[base:base + 8 * wp].reshape(2 * wp, 4)
+    meta = jax.lax.bitcast_convert_type(meta, jnp.int32)
+    return alleles, meta[:wp], meta[wp:]
+
+
 def upload_span(alleles: np.ndarray, mesh=None,
                 min_bucket: int = 1 << 16) -> jnp.ndarray:
     """Upload a host int8 [H, S] span, padded on the site axis to a
