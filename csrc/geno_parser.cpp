@@ -187,6 +187,98 @@ int64_t parse_geno_chunk(
   return 0;
 }
 
+// Biallelic wire-plane packer for the pairwise-distance device path.
+//
+// The pair-count kernel only needs, per site, which haplotypes are called
+// and which carry the site's "alt" allele: mismatch/shared pair counts are
+// invariant to the actual base identities at biallelic sites.  Packing the
+// span as two 1-bit planes (called, alt) ships 2 bits/site/haplotype over
+// the slow device link instead of the 3 bits of the generic 2-bit-code +
+// miss-plane format (kernels/transfer.pack_span).
+//
+// alleles    : int8 [n_rows x row_stride] span, values -1..3 (only the first
+//              n_sites columns are read)
+// called/alt : out uint8 [n_rows x sp8] bit planes, little-endian bit order
+//              (site s -> byte s/8, bit s%8); sp8 = padded_sites/8 supplied
+//              by the caller (pad bits are written 0 = not called)
+// refalt     : out uint8 [n_sites] (ref | alt<<2) per-site allele codes
+//              (ref = lowest code present, alt = highest; equal when the
+//              site is invariant or empty)
+// ex_idx     : out int32 [max_ex] site indices with >2 distinct called
+//              alleles.  Exception sites are cleared in both planes (they
+//              contribute nothing via the matmul path); the caller ships
+//              their raw codes separately and the kernel patches them in.
+// Returns the number of exceptions, or -1 if max_ex was exceeded.
+int64_t pack_pair_planes(
+    const int8_t* alleles, int64_t n_rows, int64_t row_stride,
+    int64_t n_sites, uint8_t* called, uint8_t* alt, int64_t sp8,
+    uint8_t* refalt, int32_t* ex_idx, int64_t max_ex) {
+  // pass 1: per-site presence mask of the 4 allele codes
+  uint8_t* seen = new uint8_t[(size_t)n_sites]();
+  for (int64_t h = 0; h < n_rows; ++h) {
+    const int8_t* row = alleles + h * row_stride;
+    for (int64_t s = 0; s < n_sites; ++s) {
+      int8_t c = row[s];
+      seen[s] |= (c >= 0) ? (uint8_t)(1u << c) : 0u;
+    }
+  }
+  // pass 1.5: ref/alt codes + exception detection
+  int64_t n_ex = 0;
+  uint8_t* is_ex = new uint8_t[(size_t)n_sites]();
+  for (int64_t s = 0; s < n_sites; ++s) {
+    uint8_t m = seen[s];
+    int pc = __builtin_popcount(m);
+    if (pc > 2) {
+      if (n_ex >= max_ex) { delete[] seen; delete[] is_ex; return -1; }
+      ex_idx[n_ex++] = (int32_t)s;
+      is_ex[s] = 1;
+      refalt[s] = 0;
+      continue;
+    }
+    if (m == 0) { refalt[s] = 0; continue; }
+    int ref = __builtin_ctz(m);
+    int a = 31 - __builtin_clz((unsigned)m);
+    refalt[s] = (uint8_t)(ref | (a << 2));
+  }
+  // pass 2: emit bit planes
+  for (int64_t h = 0; h < n_rows; ++h) {
+    const int8_t* row = alleles + h * row_stride;
+    uint8_t* crow = called + h * sp8;
+    uint8_t* arow = alt + h * sp8;
+    int64_t s = 0;
+    int64_t full = n_sites / 8;
+    for (int64_t b = 0; b < full; ++b) {
+      uint8_t cb = 0, ab = 0;
+      for (int k = 0; k < 8; ++k, ++s) {
+        int8_t c = row[s];
+        uint8_t ok = (uint8_t)((c >= 0) & !is_ex[s]);
+        cb |= (uint8_t)(ok << k);
+        ab |= (uint8_t)((ok & (c == (int8_t)(refalt[s] >> 2))) << k);
+      }
+      crow[b] = cb;
+      arow[b] = ab;
+    }
+    if (s < n_sites) {
+      uint8_t cb = 0, ab = 0;
+      for (int k = 0; s < n_sites; ++k, ++s) {
+        int8_t c = row[s];
+        uint8_t ok = (uint8_t)((c >= 0) & !is_ex[s]);
+        cb |= (uint8_t)(ok << k);
+        ab |= (uint8_t)((ok & (c == (int8_t)(refalt[s] >> 2))) << k);
+      }
+      crow[full] = cb;
+      arow[full] = ab;
+    }
+    for (int64_t b = (n_sites + 7) / 8; b < sp8; ++b) {
+      crow[b] = 0;
+      arow[b] = 0;
+    }
+  }
+  delete[] seen;
+  delete[] is_ex;
+  return n_ex;
+}
+
 // Whole-buffer gzip decompression via libdeflate (2-3x faster than zlib).
 // Handles multi-member gzip streams.  Returns total decompressed bytes, or
 // -1 (output too small) / -2 (corrupt) / -3 (not built with libdeflate).

@@ -46,8 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--roundTo", type=int, action="store", default=4)
     p.add_argument("--exclude", required=False)
     p.add_argument("--include", required=False)
-    p.add_argument("-T", "--threads", type=int, default=1, required=False)
-    p.add_argument("--verbose", action="store_true")
+    p.add_argument("-T", "--threads", type=int, default=1, required=False,
+                   help="accepted for reference CLI compatibility; the "
+                        "engine parallelizes on-device and ignores it")
+    p.add_argument("--verbose", action="store_true",
+                   help="periodic progress counters on stderr")
     p.add_argument("--addWindowID", action="store_true")
     p.add_argument("--writeFailedWindows", action="store_true")
     return p

@@ -243,8 +243,20 @@ def main(argv=None) -> int:
                       + "\t".join(vals_str[s]) + "\n")
         return S
 
+    # --test mirrors the reference's 10-slice smoke run (freq.py:222,
+    # 361-365: 10 x 1 MB fileSlicer slices)
+    test_sites_left = (10 * 1_000_000) // max(reader.model.n_rows * 2, 1) \
+        if args.test else None
     for chunk in _engine._prefetched(reader.iter_chunks()):
-        done = process_block(chunk.alleles, chunk.scaffold_ids, chunk.positions)
+        a, sids, pos = chunk.alleles, chunk.scaffold_ids, chunk.positions
+        if test_sites_left is not None:
+            if test_sites_left <= 0:
+                break
+            a = a[:, :test_sites_left]
+            sids = sids[:test_sites_left]
+            pos = pos[:test_sites_left]
+            test_sites_left -= pos.size
+        done = process_block(a, sids, pos)
         progress.update(sites=done, rows=done)
 
     if args.outFile:

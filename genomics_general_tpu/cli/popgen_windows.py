@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import itertools
+import os
 import sys
 
 import numpy as np
@@ -133,15 +134,40 @@ def main(argv=None) -> int:
             "predefined windows (IDs from the file) instead"
         shard_pred = multihost.shard_predicate(n_procs,
                                                multihost.process_index())
+        wc_order_keys = None
         if wind.get("windCoords"):
-            wind["windCoords"] = [r for r in wind["windCoords"]
-                                  if shard_pred(r[0])]
+            # keep only owned rows, remembering each row's index in the
+            # ORIGINAL file so host 0 can write rows in exact file order
+            # (window files may interleave scaffolds)
+            kept = [(i, r) for i, r in enumerate(wind["windCoords"])
+                    if shard_pred(r[0])]
+            wind["windCoords"] = [r for _, r in kept]
+            wc_order_keys = [i for i, _ in kept]
         mh_writer = multihost.MultiHostWriter()
         out, skip_windows, cursor = None, 0, None
     else:
         shard_pred, mh_writer = None, None
         out, skip_windows, cursor = common.open_resumable_out(
             args, header_line)
+
+    # popDist/popPairDist-only runs use the fully-fused device path: pair
+    # counts AND the per-pop-block float64 reductions stay on device, so only
+    # [W, 2, P, P] floats ride the slow link (kernels/pairdist.
+    # window_pair_block_stats_dispatch).  Analyses that need the full [W,H,H]
+    # matrices on host (indPairDist/indHet/hapStats) or the counts kernel
+    # (popFreq/WC) use the general path.
+    use_blocks = (need_dist and mesh is None
+                  and not (need_freq or need_wc)
+                  and all(a in ("popDist", "popPairDist") for a in analysis)
+                  and os.environ.get("GGT_HOST_DIST_FINALIZE") != "1")
+    if use_blocks:
+        dist_groups_arr = np.array(
+            ["" if g is None else g for g in model.row_group])
+        dist_pops = [str(p) for p in np.unique(dist_groups_arr)]
+        dist_mask = np.zeros((len(dist_pops), model.n_rows), dtype=np.float64)
+        for gi, g in enumerate(dist_pops):
+            dist_mask[gi, dist_groups_arr == g] = 1.0
+        dist_sizes = [int(dist_mask[gi].sum()) for gi in range(len(dist_pops))]
 
     # popFreq: one combined mask over the row groups (incl. ungrouped rows)
     if need_freq or need_wc:
@@ -170,7 +196,11 @@ def main(argv=None) -> int:
             both = need_dist and (need_freq or need_wc) and span.shape[1]
             dev = transfer.upload_span(span, mesh=mesh) if both else None
         with timer.stage("kernel"):
-            if need_dist:
+            if use_blocks:
+                handles["pairblocks"] = pair_k.window_pair_block_stats_dispatch(
+                    span, plan.first.astype(np.int32),
+                    plan.n_sites.astype(np.int32), dist_mask, min_sites)
+            elif need_dist:
                 handles["pair"] = pair_k.window_pair_counts_dispatch(
                     dev if dev is not None else span,
                     plan.first.astype(np.int32),
@@ -189,7 +219,15 @@ def main(argv=None) -> int:
         mid = plan.mid(batch.positions)
         values: dict[str, np.ndarray] = {}
 
-        if need_dist:
+        if use_blocks:
+            with timer.stage("d2h"):
+                bsums, bcnts = handles["pairblocks"].collect()
+            with timer.stage("finalize"):
+                values.update(popgen.group_dist_stats_from_blocks(
+                    bsums, bcnts, dist_pops, dist_sizes,
+                    do_pairs="popPairDist" in analysis,
+                    min_data=args.minData))
+        elif need_dist:
             with timer.stage("d2h"):
                 mism, shar = handles["pair"].collect()
             with timer.stage("finalize"):
@@ -264,7 +302,9 @@ def main(argv=None) -> int:
                         row.append(writers.fmt_float(values[s][w], rt))
                 text = ",".join(row) + "\n"
                 if mh_writer is not None:
-                    mh_writer.write_row(scaf_name, text)
+                    key = wc_order_keys[batch.window_offset + w] \
+                        if wc_order_keys is not None else None
+                    mh_writer.write_row(scaf_name, text, order_key=key)
                 else:
                     out.write(text)
                 rows_written += 1

@@ -403,9 +403,6 @@ def _subsample_individuals(data, model, pop_dict, in_pop_names, subsample_dict, 
     import random
     out = []
     for p in in_pop_names:
-        ind_counts = []
-        for ind in pop_dict[p]:
-            rows = model.pop_row_indices  # not per-ind; compute directly
         # per-individual base counts at site s
         arr = []
         for ind in pop_dict[p]:

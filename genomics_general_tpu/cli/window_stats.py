@@ -154,7 +154,7 @@ def main(argv=None):
         if (n + 1) % 100 == 0:
             sys.stderr.write(f"{n + 1} windows analysed...\n")
 
-    sys.exit()
+    return 0
 
 
 if __name__ == "__main__":

@@ -60,6 +60,15 @@ def get_lib():
             np.ctypeslib.ndpointer(np.uint8, flags="C"), ctypes.c_int64]
     except AttributeError:
         pass
+    try:
+        lib.pack_pair_planes.restype = ctypes.c_int64
+        lib.pack_pair_planes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"), ctypes.c_int64]
+    except AttributeError:
+        pass
     lib.parse_geno_chunk.restype = ctypes.c_int64
     lib.parse_geno_chunk.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -104,6 +113,33 @@ def gzip_decompress_array(data: bytes):
             continue
         return None
     return None
+
+
+def pack_pair_planes_native(alleles: np.ndarray, called_out: np.ndarray,
+                            alt_out: np.ndarray, sp8: int,
+                            max_ex: int = 1 << 20):
+    """C fast path for the biallelic pair-plane pack (kernels/pairdist wire
+    format v2).  ``called_out``/``alt_out`` are uint8 [H, sp8] views into the
+    caller's wire buffer (C-contiguous rows).  Returns (refalt uint8 [S],
+    ex_idx int32 [E]) or None when the native library is unavailable or the
+    exception capacity is exceeded."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pack_pair_planes"):
+        return None
+    H, S = alleles.shape
+    if alleles.strides[1] != 1:          # rows may be strided (buffer views);
+        alleles = np.ascontiguousarray(alleles)  # sites must be contiguous
+    refalt = np.empty(S, dtype=np.uint8)
+    ex_idx = np.empty(max_ex, dtype=np.int32)
+    n_ex = lib.pack_pair_planes(
+        alleles.ctypes.data_as(ctypes.c_void_p), np.int64(H),
+        np.int64(alleles.strides[0]), np.int64(S),
+        called_out.ctypes.data_as(ctypes.c_void_p),
+        alt_out.ctypes.data_as(ctypes.c_void_p), np.int64(sp8),
+        refalt, ex_idx, np.int64(max_ex))
+    if n_ex < 0:
+        return None
+    return refalt, ex_idx[:n_ex].copy()
 
 
 def gzip_decompress_bytes(data: bytes) -> bytes | None:

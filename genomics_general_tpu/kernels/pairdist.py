@@ -146,6 +146,120 @@ def _next_pow2(n: int, lo: int) -> int:
     return b
 
 
+@functools.partial(jax.jit, static_argnames=("s_max",))
+def gather_window_code2(code2: jnp.ndarray, first: jnp.ndarray,
+                        n_sites: jnp.ndarray, s_max: int):
+    """Gather B spans of the combined called/alt plane (int8, bit0 = called,
+    bit1 = alt) into bf16 factors (c [B,H,s_max], ca [B,H,s_max])."""
+    offs = jnp.arange(s_max, dtype=jnp.int32)
+    idx = first[:, None] + offs[None, :]
+    valid = offs[None, :] < n_sites[:, None]
+    idx = jnp.where(valid, idx, 0)
+    w = code2[:, idx].transpose(1, 0, 2)              # [B, H, s_max]
+    v = valid[:, None, :]
+    c = ((w & 1) * v).astype(jnp.bfloat16)
+    ca = ((w >> 1) * v).astype(jnp.bfloat16)
+    return c, ca
+
+
+def _pair_counts_v2(c: jnp.ndarray, ca: jnp.ndarray):
+    """Mismatch/shared from biallelic bit factors.
+
+    With a = is-alt and c = called (alt bits only ever set on called sites),
+    per-site mismatch is c_i c_j (a_i XOR a_j) = c_i c_j (a_i + a_j
+    - 2 a_i a_j), so summed over sites:
+
+        shared   = c  . c^T
+        mismatch = ca . c^T + (ca . c^T)^T - 2 ca . ca^T
+
+    Three [H, S] matmuls — no one-hot [B,H,S,4] blow-up (the generic
+    4-state path in :func:`pairwise_counts` needs it; biallelic sites are
+    the overwhelming majority, exceptions are patched in separately)."""
+    G1 = jnp.einsum("bhs,bgs->bhg", c, c,
+                    preferred_element_type=jnp.float32)
+    G2 = jnp.einsum("bhs,bgs->bhg", ca, ca,
+                    preferred_element_type=jnp.float32)
+    G3 = jnp.einsum("bhs,bgs->bhg", ca, c,
+                    preferred_element_type=jnp.float32)
+    mismatch = G3 + G3.transpose(0, 2, 1) - 2.0 * G2
+    return mismatch.astype(jnp.int32), G1.astype(jnp.int32)
+
+
+def _exception_patch(m, s, ex_w, ex_codes, wp):
+    """Add the multi-allelic exception sites' pair contributions.
+
+    ex_w [E] gives each entry's window index (== wp for padding, dropped by
+    the one-hot), ex_codes [E, H] the raw allele codes at that site."""
+    called = (ex_codes >= 0)
+    eq = (ex_codes[:, :, None] == ex_codes[:, None, :])
+    both = called[:, :, None] & called[:, None, :]
+    s_e = jnp.where(both, 1.0, 0.0)                       # [E, H, H]
+    m_e = jnp.where(both & ~eq, 1.0, 0.0)
+    onehot = (ex_w[:, None] == jnp.arange(wp, dtype=jnp.int32)[None, :])
+    onehot = onehot.astype(jnp.float32)                   # [E, wp]
+    E, H, _ = s_e.shape
+    s_add = jnp.einsum("ew,ex->wx", onehot, s_e.reshape(E, H * H),
+                       preferred_element_type=jnp.float32)
+    m_add = jnp.einsum("ew,ex->wx", onehot, m_e.reshape(E, H * H),
+                       preferred_element_type=jnp.float32)
+    m = m + m_add.reshape(wp, H, H).astype(jnp.int32)
+    s = s + s_add.reshape(wp, H, H).astype(jnp.int32)
+    return m, s
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sp", "h", "wp", "s_max", "chunk", "ep", "mode"))
+def _fused_flush_pair_v2(buf: jnp.ndarray, pop_mask: jnp.ndarray,
+                         min_sites: jnp.ndarray, sp: int, h: int, wp: int,
+                         s_max: int, chunk: int, ep: int, mode: str):
+    """Wire-v2 single-transfer flush kernel.
+
+    ``buf`` is the :func:`~genomics_general_tpu.kernels.transfer.pack_pair_wire`
+    buffer.  mode:
+
+    * ``"tri"``    -> packed upper-triangle counts [wp, 2T] (uint16/int32),
+      the drop-in replacement for :func:`_fused_flush_pair_counts`;
+    * ``"blocks"`` -> per-window per-pop-block float64 (sum of pair
+      distances, count of valid pairs) [wp, 2, P, P] — the device-side
+      equivalent of stats/popgen.group_dist_stats' nanmean numerators /
+      denominators (genomics.py:956-995): valid pairs are off-diagonal with
+      shared >= max(min_sites, 1) (the reference's 0/0 -> NaN and
+      ``apply_min_sites`` NaNs), the float64 division happens here, and the
+      minData gate + means + Fst assembly stay on host in exact numpy f64.
+      Requires tracing under ``jax.enable_x64()``.
+    """
+    from . import transfer
+    code2, fi, ns, ex_w, ex_codes = transfer.unpack_pair_wire(
+        buf, sp, h, wp, ep)
+
+    def one(args):
+        f, n = args
+        c, ca = gather_window_code2(code2, f, n, s_max)
+        return _pair_counts_v2(c, ca)
+
+    n_ch = wp // chunk
+    m, s = jax.lax.map(one, (fi.reshape(n_ch, chunk),
+                             ns.reshape(n_ch, chunk)))
+    m = m.reshape(wp, h, h)
+    s = s.reshape(wp, h, h)
+    if ep:
+        m, s = _exception_patch(m, s, ex_w, ex_codes, wp)
+
+    if mode == "tri":
+        return _tri_pack(m, s, s_max)
+
+    # blocks: float64 nanmean numerators/denominators per pop-pair block
+    ms = jnp.maximum(min_sites.astype(jnp.int32), 1)
+    offdiag = ~jnp.eye(h, dtype=bool)
+    valid = (s >= ms) & offdiag[None, :, :]
+    d0 = jnp.where(valid, m.astype(jnp.float64) / s.astype(jnp.float64), 0.0)
+    vf = valid.astype(jnp.float64)
+    pm = pop_mask.astype(jnp.float64)
+    sums = jnp.einsum("whg,ph,qg->wpq", d0, pm, pm)
+    cnts = jnp.einsum("whg,ph,qg->wpq", vf, pm, pm)
+    return jnp.stack([sums, cnts], axis=1)                # [wp, 2, P, P]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("sp", "h", "wp", "s_max", "chunk"))
 def _fused_flush_pair_counts(buf: jnp.ndarray, sp: int, h: int, wp: int,
@@ -169,27 +283,92 @@ def _fused_flush_pair_counts(buf: jnp.ndarray, sp: int, h: int, wp: int,
     return out.reshape(wp, out.shape[-1])
 
 
-def _dispatch_fused(alleles: np.ndarray, first: np.ndarray,
-                    n_sites: np.ndarray) -> "PairCountsHandle":
-    """Host-span fast path: exactly one H2D transfer and one D2H transfer per
-    flush batch (the link's per-transfer fixed cost is ~13-25 ms)."""
+def _v2_flush_args(alleles: np.ndarray, first: np.ndarray,
+                   n_sites: np.ndarray):
+    """Shared host-side prep for the wire-v2 fused kernels: pack the flush
+    buffer and choose the static shape parameters."""
     W = first.shape[0]
     H = alleles.shape[0]
-    handle = PairCountsHandle(W, H, [])
-    if W == 0:
-        return handle
     s_need = max(int(n_sites.max()), 1)
     wp = _next_pow2(W, 8)
-    buf, Sp = transfer.pack_flush_buffer(alleles, first, n_sites, wp)
+    buf, Sp, ep = transfer.pack_pair_wire(alleles, first, n_sites, wp)
     s_max = min(_next_pow2(s_need, 1024), Sp)
-    # chunk the window axis so the [chunk, H, s_max, 4] one-hot stays small:
+    # chunk the window axis so the [chunk, H, s_max] gather stays small:
     # measured on the target TPU, chunks at/above 256 windows fall off a
     # fusion cliff (0.9s vs 0.06s per 512-window flush at chunk 128)
     chunk = min(wp, 128)
     while chunk > 8 and chunk * H * s_max > (1 << 26):
         chunk //= 2
-    out = _fused_flush_pair_counts(jax.device_put(buf), Sp, H, wp,
-                                   s_max, chunk)
+    return buf, Sp, H, wp, s_max, chunk, ep
+
+
+_NO_POPS = np.zeros((1, 1), dtype=np.float64)
+
+
+def _dispatch_fused(alleles: np.ndarray, first: np.ndarray,
+                    n_sites: np.ndarray) -> "PairCountsHandle":
+    """Host-span fast path: exactly one H2D transfer and one D2H transfer per
+    flush batch (the link's per-transfer fixed cost is ~13-25 ms).  Ships the
+    2-bit/site/haplotype biallelic wire format (transfer.pack_pair_wire)."""
+    W = first.shape[0]
+    H = alleles.shape[0]
+    handle = PairCountsHandle(W, H, [])
+    if W == 0:
+        return handle
+    buf, Sp, H, wp, s_max, chunk, ep = _v2_flush_args(alleles, first, n_sites)
+    out = _fused_flush_pair_v2(jax.device_put(buf), _NO_POPS,
+                               jnp.int32(0), Sp, H, wp, s_max, chunk, ep,
+                               "tri")
+    handle.pending.append((np.arange(W), W, out))
+    return handle
+
+
+class PairBlockStatsHandle:
+    """In-flight per-window pop-block distance sums (wire-v2 ``blocks`` mode).
+
+    ``collect()`` returns float64 (sums [W, P, P], counts [W, P, P]):
+    sums[w, x, y] = sum over valid (i in pop x, j in pop y) of
+    mismatch/shared; counts = number of valid pairs.  Valid = off-diagonal
+    and shared >= max(min_sites, 1) — exactly the non-NaN entries of the
+    reference's per-window distance matrix after ``apply_min_sites``
+    (stats/popgen.DistStatsContext)."""
+
+    def __init__(self, W: int, P: int, pending: list):
+        self.W, self.P, self.pending = W, P, pending
+
+    def collect(self):
+        sums = np.empty((self.W, self.P, self.P), dtype=np.float64)
+        cnts = np.empty((self.W, self.P, self.P), dtype=np.float64)
+        for sel, b, out in self.pending:
+            host = np.asarray(out)
+            sums[sel] = host[:b, 0]
+            cnts[sel] = host[:b, 1]
+        self.pending = []
+        return sums, cnts
+
+
+def window_pair_block_stats_dispatch(alleles: np.ndarray, first: np.ndarray,
+                                     n_sites: np.ndarray,
+                                     pop_mask: np.ndarray,
+                                     min_sites: int) -> PairBlockStatsHandle:
+    """Dispatch the fully-fused popDist/popPairDist path: pair counts AND the
+    float64 per-pop-block reductions happen on device; only [W, 2, P, P]
+    floats come back over the slow link (vs [W, H, H] count matrices).
+
+    ``pop_mask``: float [P, H] 0/1 row membership per population (np.unique
+    group order).  The host finalize (stats/popgen.group_dist_stats_from_
+    blocks) reproduces the reference's nanmean_min/Fst arithmetic exactly.
+    """
+    W = first.shape[0]
+    P = pop_mask.shape[0]
+    handle = PairBlockStatsHandle(W, P, [])
+    if W == 0:
+        return handle
+    buf, Sp, H, wp, s_max, chunk, ep = _v2_flush_args(alleles, first, n_sites)
+    with jax.enable_x64():
+        out = _fused_flush_pair_v2(
+            jax.device_put(buf), jnp.asarray(pop_mask.astype(np.float64)),
+            jnp.int32(min_sites or 0), Sp, H, wp, s_max, chunk, ep, "blocks")
     handle.pending.append((np.arange(W), W, out))
     return handle
 

@@ -175,6 +175,145 @@ def unpack_flush_buffer(buf: jnp.ndarray, sp: int, h: int, wp: int):
     return alleles, meta[:wp], meta[wp:]
 
 
+_POPCOUNT = np.array([bin(i).count("1") for i in range(16)], dtype=np.uint8)
+_LOWBIT = np.array([0, 0, 1, 0, 2, 0, 1, 0, 3, 0, 1, 0, 2, 0, 1, 0],
+                   dtype=np.uint8)          # index of lowest set bit (0 for 0)
+_HIGHBIT = np.array([0, 0, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3],
+                    dtype=np.uint8)         # index of highest set bit
+
+
+def _pack_pair_planes_numpy(alleles: np.ndarray, called_out: np.ndarray,
+                            alt_out: np.ndarray, sp8: int):
+    """Numpy fallback for the C ``pack_pair_planes`` (same contract)."""
+    H, S = alleles.shape
+    seen = np.zeros(S, dtype=np.uint8)
+    for c in range(4):
+        seen |= (alleles == c).any(axis=0).astype(np.uint8) << c
+    is_ex = _POPCOUNT[seen] > 2
+    ex_idx = np.flatnonzero(is_ex).astype(np.int32)
+    refalt = (_LOWBIT[seen] | (_HIGHBIT[seen] << 2)).astype(np.uint8)
+    refalt[is_ex] = 0
+    called = (alleles >= 0) & ~is_ex[None, :]
+    altbit = called & (alleles == (refalt >> 2)[None, :])
+    cb = np.packbits(called, axis=1, bitorder="little")
+    ab = np.packbits(altbit, axis=1, bitorder="little")
+    called_out[:, :cb.shape[1]] = cb
+    called_out[:, cb.shape[1]:] = 0
+    alt_out[:, :ab.shape[1]] = ab
+    alt_out[:, ab.shape[1]:] = 0
+    return refalt, ex_idx
+
+
+def pack_pair_wire(alleles: np.ndarray, first: np.ndarray,
+                   n_sites: np.ndarray, wp: int, ep_min: int = 4096,
+                   min_bucket: int = 1 << 16):
+    """Wire format v2 for the pairwise kernel: ONE uint8 flush buffer
+
+        [called bits H x Sp/8 | alt bits H x Sp/8 |
+         first int32[wp] | n_sites int32[wp] |
+         ex_w int32[ep] | ex_codes int8[ep, H]]
+
+    ``called``/``alt`` are 1-bit planes (2 bits/site/haplotype vs the 3 of
+    :func:`pack_span`) valid for sites with <= 2 distinct called alleles;
+    multi-allelic *exception* sites are cleared from the planes and shipped
+    as explicit (window, codes) patch entries — one per (window, site) pair
+    for overlapping windows.  Returns (buffer, Sp, ep); ep == 0 when the
+    flush has no exceptions (pad entries carry ex_w == wp and are dropped by
+    the kernel's one-hot scatter).
+    """
+    H, S = alleles.shape
+    Sp = _bucket_sites(max(S, 1), min_bucket)
+    sp8 = Sp // 8
+    W = first.shape[0]
+    planes = np.empty(2 * H * sp8, dtype=np.uint8)
+    called_out = planes[:H * sp8].reshape(H, sp8)
+    alt_out = planes[H * sp8:].reshape(H, sp8)
+
+    res = None
+    if os.environ.get("GGT_NO_NATIVE_PARSER") != "1":
+        from ..io import native
+        res = native.pack_pair_planes_native(alleles, called_out, alt_out, sp8)
+    if res is None:
+        res = _pack_pair_planes_numpy(alleles, called_out, alt_out, sp8)
+    refalt, ex_idx = res
+
+    meta = np.zeros(2 * wp, np.int32)
+    meta[:W] = first
+    meta[wp:wp + W] = n_sites
+
+    # map exception sites to the windows containing them (possibly several
+    # for overlapping windows); entries get the window's *batch* index
+    pairs_w: np.ndarray
+    pairs_s: np.ndarray
+    if ex_idx.size and W:
+        last = first + n_sites
+        if np.all(np.diff(first) >= 0) and np.all(np.diff(last) >= 0):
+            lo = np.searchsorted(last, ex_idx, side="right")
+            hi = np.searchsorted(first, ex_idx, side="right")
+            reps = np.maximum(hi - lo, 0)
+            pairs_s = np.repeat(ex_idx, reps)
+            pairs_w = np.concatenate(
+                [np.arange(l, h, dtype=np.int32)
+                 for l, h in zip(lo, hi) if h > l]) \
+                if reps.sum() else np.empty(0, np.int32)
+        else:  # unsorted plans (rare): exact O(E*W) containment
+            inw = (ex_idx[:, None] >= first[None, :]) \
+                & (ex_idx[:, None] < last[None, :])
+            e_i, w_i = np.nonzero(inw)
+            pairs_s = ex_idx[e_i]
+            pairs_w = w_i.astype(np.int32)
+    else:
+        pairs_s = np.empty(0, np.int64)
+        pairs_w = np.empty(0, np.int32)
+
+    E = pairs_w.size
+    if E == 0:
+        ep = 0
+        ex_buf = np.empty(0, dtype=np.uint8)
+    else:
+        ep = ep_min
+        while ep < E:
+            ep <<= 1
+        ex_w = np.full(ep, wp, dtype=np.int32)      # pad -> out of range
+        ex_w[:E] = pairs_w
+        ex_codes = np.full((ep, H), -1, dtype=np.int8)
+        ex_codes[:E] = alleles[:, pairs_s].T
+        ex_buf = np.concatenate([ex_w.view(np.uint8),
+                                 ex_codes.reshape(-1).view(np.uint8)])
+    buf = np.concatenate([planes, meta.view(np.uint8), ex_buf])
+    return buf, Sp, ep
+
+
+@functools.partial(jax.jit, static_argnames=("sp", "h", "wp", "ep"))
+def unpack_pair_wire(buf: jnp.ndarray, sp: int, h: int, wp: int, ep: int):
+    """Device-side inverse of :func:`pack_pair_wire`.
+
+    Returns (code2 int8 [h, sp] with bit0 = called, bit1 = alt;
+             first int32 [wp], n_sites int32 [wp],
+             ex_w int32 [ep], ex_codes int8 [ep, h])."""
+    sp8 = sp // 8
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    c_bits = buf[:h * sp8].reshape(h, sp8)
+    a_bits = buf[h * sp8:2 * h * sp8].reshape(h, sp8)
+    c = ((c_bits[:, :, None] >> shifts) & 1).reshape(h, sp)
+    a = ((a_bits[:, :, None] >> shifts) & 1).reshape(h, sp)
+    code2 = (c | (a << 1)).astype(jnp.int8)
+    base = 2 * h * sp8
+    meta = jax.lax.bitcast_convert_type(
+        buf[base:base + 8 * wp].reshape(2 * wp, 4), jnp.int32)
+    first, n_sites = meta[:wp], meta[wp:]
+    if ep:
+        ex0 = base + 8 * wp
+        ex_w = jax.lax.bitcast_convert_type(
+            buf[ex0:ex0 + 4 * ep].reshape(ep, 4), jnp.int32)
+        ex_codes = jax.lax.bitcast_convert_type(
+            buf[ex0 + 4 * ep:ex0 + 4 * ep + ep * h], jnp.int8).reshape(ep, h)
+    else:
+        ex_w = jnp.zeros((0,), jnp.int32)
+        ex_codes = jnp.zeros((0, h), jnp.int8)
+    return code2, first, n_sites, ex_w, ex_codes
+
+
 def upload_span(alleles: np.ndarray, mesh=None,
                 min_bucket: int = 1 << 16) -> jnp.ndarray:
     """Upload a host int8 [H, S] span, padded on the site axis to a

@@ -35,13 +35,6 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-@functools.partial(jax.jit, static_argnames=("s_max", "mesh"))
-def _sharded_pair_counts(alleles, first, n_sites, s_max, mesh):
-    from ..kernels.pairdist import gather_window_batch, pairwise_counts
-    wa, valid = gather_window_batch(alleles, first, n_sites, s_max)
-    return pairwise_counts(wa, valid)
-
-
 def sharded_window_pair_counts(alleles: np.ndarray, first: np.ndarray,
                                n_sites: np.ndarray, mesh: Mesh,
                                s_max: int | None = None):

@@ -88,32 +88,54 @@ def allgather_bytes(payload: bytes) -> list[bytes]:
 
 
 class MultiHostWriter:
-    """Per-scaffold row buffers merged to an ordered host-0 CSV.
+    """Host-local row buffers merged to an ordered host-0 CSV.
 
-    Each host writes only rows for scaffolds it owns; ``finish`` allgathers
-    the buffers and process 0 writes blocks in genome order.  The gathered
-    scaffold orders are merged by first-appearance (every host observes the
-    full scaffold sequence of the shared input, so host 0's order is already
-    the genome order)."""
+    Two ordering modes:
+
+    * **scaffold blocks** (coordinate/sites windows): each host buffers rows
+      per scaffold it owns; ``finish`` allgathers the buffers and process 0
+      writes blocks in genome (file) order.  Every host observes the full
+      scaffold sequence of the shared input, so host 0's order is the genome
+      order, and within a scaffold window order is deterministic by
+      construction.
+    * **explicit keys** (predefined window lists): rows carry their global
+      windCoords row index and host 0 writes them key-sorted — byte-identical
+      to a single-host run even when the window file interleaves scaffolds
+      (plain scaffold grouping would reorder such files)."""
 
     def __init__(self):
         self.blocks: dict[str, list[str]] = {}
+        self.keyed_rows: list[tuple[int, str]] = []
 
-    def write_row(self, scaffold: str, line: str) -> None:
-        self.blocks.setdefault(scaffold, []).append(line)
+    def write_row(self, scaffold: str, line: str,
+                  order_key: int | None = None) -> None:
+        if order_key is not None:
+            self.keyed_rows.append((order_key, line))
+        else:
+            self.blocks.setdefault(scaffold, []).append(line)
 
     def finish(self, out, header: str, scaffold_order: list[str]) -> None:
-        """Gather all hosts' blocks; process 0 writes header + rows."""
+        """Gather all hosts' rows; process 0 writes header + ordered rows."""
         payload = pickle.dumps(
-            {k: "".join(v) for k, v in self.blocks.items()},
+            ({k: "".join(v) for k, v in self.blocks.items()},
+             self.keyed_rows),
             protocol=pickle.HIGHEST_PROTOCOL)
         gathered = allgather_bytes(payload)
         if process_index() != 0:
             return
         merged: dict[str, str] = {}
+        keyed: list[tuple[int, str]] = []
         for blob in gathered:
-            merged.update(pickle.loads(blob))
+            blocks, rows = pickle.loads(blob)
+            for k, v in blocks.items():
+                # defensive: scaffold ownership is disjoint, but never
+                # silently drop rows if two hosts ever emit the same key
+                merged[k] = merged.get(k, "") + v
+            keyed.extend(rows)
         out.write(header)
+        keyed.sort(key=lambda kv: kv[0])
+        for _, line in keyed:
+            out.write(line)
         for name in scaffold_order:
             if name in merged:
                 out.write(merged.pop(name))

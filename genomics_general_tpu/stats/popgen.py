@@ -108,6 +108,58 @@ def group_dist_stats(ctx: DistStatsContext, row_group: list,
     return out
 
 
+def group_dist_stats_from_blocks(sums: np.ndarray, cnts: np.ndarray,
+                                 pops: list[str], pop_sizes: list[int],
+                                 do_pairs: bool, min_data: float) -> dict:
+    """group_dist_stats from device-reduced pop-block sums.
+
+    ``sums``/``cnts`` float64 [W, P, P] are per-window sums of valid pair
+    distances / valid-pair counts per pop-row x pop-col block (pops in the
+    same np.unique order as the host path; see kernels/pairdist.
+    window_pair_block_stats_dispatch).  Reproduces the reference
+    ``groupDistStats`` arithmetic (genomics.py:956-995): nanmean = sum/count
+    (empty -> 0/0 -> NaN), the strict nanmean_min gate on the non-NaN
+    fraction, sample-size-weighted pi_s, pooled pi_t from the block sums
+    (x-then-y pooled square = xx + xy + yx + yy blocks), Fst = 1 - pi_s/pi_t.
+    """
+    out = {}
+    P = len(pops)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for x, p in enumerate(pops):
+            size = pop_sizes[x] * pop_sizes[x]
+            cnt = cnts[:, x, x]
+            mean = sums[:, x, x] / cnt
+            gate = (1 - (1.0 * (size - cnt)) / size) < min_data
+            mean[gate] = np.nan
+            out["pi_" + p] = mean
+        if P == 1 or not do_pairs:
+            return out
+        for x in range(P - 1):
+            for y in range(x + 1, P):
+                n_x, n_y = pop_sizes[x], pop_sizes[y]
+                size = n_x * n_y
+                cnt = cnts[:, x, y]
+                dxy = sums[:, x, y] / cnt
+                gate = (1 - (1.0 * (size - cnt)) / size) < min_data
+                dxy[gate] = np.nan
+                out["dxy_" + pops[x] + "_" + pops[y]] = dxy
+                out["dxy_" + pops[y] + "_" + pops[x]] = dxy
+                w = 1.0 * n_x / (n_x + n_y)
+                pi_s = w * out["pi_" + pops[x]] + (1 - w) * out["pi_" + pops[y]]
+                pool_size = (n_x + n_y) * (n_x + n_y)
+                pool_cnt = (cnts[:, x, x] + cnts[:, y, y]
+                            + cnts[:, x, y] + cnts[:, y, x])
+                pi_t = (sums[:, x, x] + sums[:, y, y]
+                        + sums[:, x, y] + sums[:, y, x]) / pool_cnt
+                gate = (1 - (1.0 * (pool_size - pool_cnt)) / pool_size) \
+                    < min_data
+                pi_t[gate] = np.nan
+                fst = 1 - pi_s / pi_t
+                out["Fst_" + pops[x] + "_" + pops[y]] = fst
+                out["Fst_" + pops[y] + "_" + pops[x]] = fst
+    return out
+
+
 def sample_het(ctx: DistStatsContext, sample_names: list[str],
                sample_rows: list[np.ndarray], min_sites: int | None = None) -> dict:
     """Reference Alignment.sampleHet (genomics.py:918-929), including the

@@ -206,6 +206,12 @@ def plan_predefined_windows(scaffold_ids: np.ndarray, positions: np.ndarray,
         scaf, a, b = row[0], int(row[1]), int(row[2])
         ids.append(row[3] if len(row) > 3 else "NA")
         sid = name_to_id.get(scaf, -1)
+        if sid < 0:
+            # register absent scaffolds so rows carry the true windCoords
+            # name (the reference's GenoWindow keeps it, genomics.py:2135)
+            sid = len(scaffold_names)
+            scaffold_names.append(scaf)
+            name_to_id[scaf] = sid
         scafs[i] = sid
         starts[i] = a
         ends[i] = b
@@ -423,6 +429,18 @@ class IncrementalPlanner:
                            np.asarray(end, np.int64), firsts, lasts, "sites")
         return piece, keep_from
 
+    def _register_absent(self, scaf: str, name_to_id: dict) -> int:
+        """Give a windCoords scaffold that never appears in the data a real
+        id so output rows carry its true name (the reference's GenoWindow
+        keeps the windCoords scaffold, genomics.py:2135; printing "None"
+        would also make different hosts' absent-scaffold rows collide in the
+        multi-host writer).  Safe: such rows emit only at EOF, after every
+        data scaffold has been assigned."""
+        sid = len(self.scaffold_names)
+        self.scaffold_names.append(scaf)
+        name_to_id[scaf] = sid
+        return sid
+
     def _plan_predefined(self, sids, pos, final):
         name_to_id = {n: i for i, n in enumerate(self.scaffold_names)}
         spans = _scaffold_spans(sids)
@@ -456,6 +474,8 @@ class IncrementalPlanner:
                 if not decidable:
                     break
             ids.append(row[3] if len(row) > 3 else "NA")
+            if sid < 0:
+                sid = self._register_absent(scaf, name_to_id)
             scafs.append(sid)
             starts.append(a)
             ends.append(b)

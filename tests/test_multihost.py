@@ -1,4 +1,4 @@
-"""Multi-host (2 real processes) end-to-end test on the CPU fabric.
+"""Multi-host (2 real processes) end-to-end tests on the CPU fabric.
 
 Spawns two OS processes that bring up ``jax.distributed`` (gloo collectives),
 shard the input by scaffold ownership (parallel/multihost.py), run the full
@@ -6,6 +6,10 @@ popgenWindows pipeline, and gather rows to a host-0 ordered writer.  The
 2-process CSV must be byte-identical to the 1-process CSV — the TPU-native
 analog of the reference's "N workers produce the same output as 1"
 guarantee (sorter thread, /root/reference/popgenWindows.py:108-140).
+
+Note on ownership skew: with sim1's two scaffolds, crc32 assigns BOTH to
+rank 1, so every test here also exercises a host that owns zero scaffolds
+(rank 0 parses, keeps nothing, and still participates in the gather).
 """
 
 import os
@@ -30,12 +34,10 @@ def _free_port() -> int:
     return port
 
 
-def _cli_args(out: str) -> list[str]:
+def _base_args(out: str) -> list[str]:
     return ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
-            "-w", "50000", "-s", "25000", "-m", "100", "--minData", "0.3",
             "-p", "pop1", "-p", "pop2", "-p", "pop3", "-p", "pop4",
             "--popsFile", str(D / "sim1.pops.txt"),
-            "--analysis", "popDist", "popPairDist",
             "--writeFailedWindows", "-o", out]
 
 
@@ -52,11 +54,13 @@ def _clean_env(extra: dict) -> dict:
     return env
 
 
-def test_two_process_csv_equals_one_process(tmp_path):
+def run_single_vs_two(tmp_path, extra_args: list[str],
+                      module: str = "genomics_general_tpu.cli.popgen_windows"):
+    """Run the CLI once single-process and once as 2 jax.distributed
+    processes; assert byte-identical output."""
     single = tmp_path / "single.csv"
     r = subprocess.run(
-        [sys.executable, "-m", "genomics_general_tpu.cli.popgen_windows",
-         *_cli_args(str(single))],
+        [sys.executable, "-m", module, *_base_args(str(single)), *extra_args],
         env=_clean_env({}), capture_output=True, timeout=600)
     assert r.returncode == 0, r.stderr.decode()[-2000:]
 
@@ -65,8 +69,8 @@ def test_two_process_csv_equals_one_process(tmp_path):
     procs = []
     for pid in range(2):
         procs.append(subprocess.Popen(
-            [sys.executable, "-m", "genomics_general_tpu.cli.popgen_windows",
-             *_cli_args(str(dist))],
+            [sys.executable, "-m", module, *_base_args(str(dist)),
+             *extra_args],
             env=_clean_env({
                 "GGT_COORDINATOR": f"127.0.0.1:{port}",
                 "GGT_NUM_PROCS": "2",
@@ -78,3 +82,39 @@ def test_two_process_csv_equals_one_process(tmp_path):
         assert p.returncode == 0, err.decode()[-2000:]
 
     assert dist.read_bytes() == single.read_bytes()
+
+
+WINDOW = ["-w", "50000", "-s", "25000", "-m", "100", "--minData", "0.3"]
+
+
+def test_two_process_csv_equals_one_process(tmp_path):
+    run_single_vs_two(tmp_path, [*WINDOW, "--analysis",
+                                 "popDist", "popPairDist"])
+
+
+def test_two_process_popfreq_hapstats(tmp_path):
+    """popFreq + hapStats columns (counts kernel + H12 clustering) across
+    the 2-process gather."""
+    run_single_vs_two(tmp_path, [*WINDOW, "--analysis",
+                                 "popFreq", "popDist", "hapStats"])
+
+
+def test_two_process_predefined_interleaved_ghost(tmp_path):
+    """Predefined window list that (a) interleaves scaffolds — host-0 must
+    write rows in exact windCoords file order, not scaffold-grouped — and
+    (b) includes scaffolds absent from the data, whose rows must carry their
+    true names (not collide across hosts)."""
+    wc = tmp_path / "wc.txt"
+    rows = [
+        ("scaf1", 1, 50000, "a1"),
+        ("scaf2", 1, 50000, "b1"),
+        ("scaf1", 50001, 100000, "a2"),
+        ("ghostA", 1, 40000, "g1"),
+        ("scaf2", 50001, 100000, "b2"),
+        ("scaf1", 100001, 150000, "a3"),
+        ("ghostB", 1, 40000, "g2"),
+    ]
+    wc.write_text("".join(f"{s}\t{a}\t{b}\t{i}\n" for s, a, b, i in rows))
+    run_single_vs_two(tmp_path, [
+        "--windType", "predefined", "--windCoords", str(wc), "-m", "50",
+        "--addWindowID", "--analysis", "popDist", "popPairDist"])
