@@ -3,17 +3,23 @@
 
 Prints ONE JSON line:
   {"metric": "popgen_sites_per_s_per_chip", "value": N, "unit": "sites/s",
-   "vs_baseline": ratio_vs_reference_single_thread}
+   "vs_baseline": ratio_vs_reference_single_thread, "stages": {...},
+   "engine_runs_s": [...], "ref_runs_s": [...]}
 
 Method
 ------
 * data: deterministic synthetic phased .geno.gz (20 diploid individuals,
   4 pops, BENCH_SITES sites across 4 scaffolds), cached in .bench_cache/.
-* engine: end-to-end pipeline (gz text parse -> window plan -> device pair
-  counts -> f64 finalize -> CSV) via the library CLI entry, run once to warm
-  jit caches, then timed.
-* baseline: the reference popgenWindows.py -T 1 on a subset of the same data
-  (sites/s extrapolates; the reference is O(sites) in this regime).
+* engine: end-to-end pipeline (gz text parse -> window plan -> biallelic
+  wire upload -> MXU pair counts -> on-device f64 block finalize -> CSV)
+  via the library CLI entry; one warm-up run (jit compile), then the
+  MEDIAN of 3 timed runs.
+* baseline: the reference popgenWindows.py -T 1 on a subset of the same
+  data (sites/s extrapolates; the reference is O(sites) in this regime);
+  MEDIAN of 3 runs.
+* stages: cumulative per-stage wall clock (StageTimer) from the last timed
+  engine run; "other" is the untimed remainder (reader init / decompress
+  lead-in / loop overhead).
 
 Config matches BASELINE.json config #1: pi/dxy/Fst, 2 pops, 50 kb coordinate
 windows, phased geno.gz.
@@ -21,6 +27,7 @@ windows, phased geno.gz.
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -28,9 +35,10 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 CACHE = REPO / ".bench_cache"
-BENCH_SITES = int(os.environ.get("BENCH_SITES", 2_000_000))
+BENCH_SITES = int(os.environ.get("BENCH_SITES", 6_000_000))
 REF_SITES = int(os.environ.get("BENCH_REF_SITES", 40_000))
 REF_PATH = os.environ.get("BENCH_REF", "/root/reference")
+N_RUNS = int(os.environ.get("BENCH_RUNS", 3))
 
 sys.path.insert(0, str(REPO))
 
@@ -65,10 +73,11 @@ ARGS = lambda g, p, o: [  # noqa: E731
     "--analysis", "popDist", "popPairDist", "-o", str(o)]
 
 
-def run_engine(geno, pops, out):
+def run_engine(geno, pops, out, profile=False):
     from genomics_general_tpu.cli.popgen_windows import main
+    extra = ["--profile"] if profile else []
     t0 = time.perf_counter()
-    main(ARGS(geno, pops, out))
+    main(ARGS(geno, pops, out) + extra)
     return time.perf_counter() - t0
 
 
@@ -87,16 +96,39 @@ def run_reference(sub, pops, out):
 def main():
     geno, pops, sub = ensure_data()
 
-    # warm-up (compile) then timed run
+    # warm-up (compile) then timed runs
     run_engine(geno, pops, "/tmp/bench_engine_warm.csv")
-    dt = run_engine(geno, pops, "/tmp/bench_engine.csv")
+    times = []
+    stages = None
+    for i in range(N_RUNS):
+        # capture the stage split from the engine's StageTimer on the last
+        # run (the timer reports to stderr; grab the dict directly)
+        from genomics_general_tpu import engine as _eng
+        rec = {}
+        orig_report = _eng.StageTimer.report
+
+        def report(self, stream=None, extra=""):
+            rec.update(self.t)
+        _eng.StageTimer.report = report
+        try:
+            dt = run_engine(geno, pops, "/tmp/bench_engine.csv", profile=True)
+        finally:
+            _eng.StageTimer.report = orig_report
+        times.append(dt)
+        stages = {k: round(v, 4) for k, v in rec.items()}
+        stages["other"] = round(dt - sum(rec.values()), 4)
+    dt = statistics.median(times)
     engine_sps = BENCH_SITES / dt
 
     ref_sps = None
+    ref_times = []
     if Path(REF_PATH).exists():
-        ref_dt = run_reference(sub, pops, "/tmp/bench_ref.csv")
-        if ref_dt:
-            ref_sps = REF_SITES / ref_dt
+        for i in range(N_RUNS):
+            ref_dt = run_reference(sub, pops, "/tmp/bench_ref.csv")
+            if ref_dt:
+                ref_times.append(ref_dt)
+        if ref_times:
+            ref_sps = REF_SITES / statistics.median(ref_times)
 
     vs = (engine_sps / ref_sps) if ref_sps else None
     print(json.dumps({
@@ -104,11 +136,14 @@ def main():
         "value": round(engine_sps, 1),
         "unit": "sites/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "stages": stages,
+        "engine_runs_s": [round(t, 3) for t in times],
+        "ref_runs_s": [round(t, 3) for t in ref_times],
     }))
     sys.stderr.write(
-        f"engine: {engine_sps:,.0f} sites/s ({BENCH_SITES} sites in {dt:.2f}s); "
-        f"reference 1-thread: {ref_sps:,.0f} sites/s\n" if ref_sps else
-        f"engine: {engine_sps:,.0f} sites/s; reference unavailable\n")
+        f"engine: {engine_sps:,.0f} sites/s ({BENCH_SITES} sites, median of "
+        f"{N_RUNS}); reference 1-thread: {ref_sps:,.0f} sites/s\n" if ref_sps
+        else f"engine: {engine_sps:,.0f} sites/s; reference unavailable\n")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""BASELINE.md measurement sweep: all 5 configs, engine vs reference.
+
+For each BASELINE config this times the engine end-to-end on the real chip
+(median of BENCH_RUNS, after one warm-up/compile run) and the corresponding
+reference script single-threaded on a subset of the same data (sites/s
+extrapolates; the reference pipelines are O(sites) in this regime).
+
+Writes BASELINE_RESULTS.json and prints one JSON line per config.  Run
+``python bench.py`` for the headline number the driver records.
+
+Configs (BASELINE.md):
+  1. popgen     pi/dxy/Fst, 2 pops, 50 kb coordinate windows
+  2. popgen4    4 pops, 250-site windows + indHet (+ a predefined pass)
+  3. abba       D/fd/fdM, 100-SNP windows, minData
+  4. freqsfs    freq --target derived piped reference-style into sfs
+  5. dmat4pop   distMat cat (genome-wide) + fourPopWindows full panel
+"""
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+CACHE = REPO / ".bench_cache"
+SITES = int(os.environ.get("BENCH_ALL_SITES", 2_000_000))
+REF_SITES = int(os.environ.get("BENCH_REF_SITES", 40_000))
+REF_PATH = os.environ.get("BENCH_REF", "/root/reference")
+N_RUNS = int(os.environ.get("BENCH_RUNS", 3))
+
+sys.path.insert(0, str(REPO))
+
+
+def ensure_data():
+    CACHE.mkdir(exist_ok=True)
+    geno = CACHE / f"bench_{SITES}.geno.gz"
+    pops = CACHE / "bench.pops.txt"
+    sub = CACHE / f"bench_ref_{REF_SITES}.geno.gz"
+    wc = CACHE / f"bench_{SITES}.windcoords.txt"
+    wc_sub = CACHE / f"bench_ref_{REF_SITES}.windcoords.txt"
+    if not geno.exists():
+        from genomics_general_tpu.testing import write_geno, write_pops_file
+        inds = write_geno(str(geno), n_sites=SITES,
+                          scaffold_len=max(10_000_000, SITES * 12),
+                          n_scaffolds=4)
+        write_pops_file(str(pops), inds)
+    if not sub.exists():
+        import gzip
+        with gzip.open(geno, "rb") as f:
+            lines = []
+            for i, ln in enumerate(f):
+                lines.append(ln)
+                if i >= REF_SITES:
+                    break
+        with gzip.open(sub, "wb", compresslevel=4) as f:
+            f.writelines(lines)
+    if not wc.exists():
+        _write_windcoords(geno, wc)
+    if not wc_sub.exists():
+        _write_windcoords(sub, wc_sub)
+    return geno, pops, sub, wc, wc_sub
+
+
+def _write_windcoords(geno, path, size=100_000):
+    """Non-overlapping windows covering each scaffold's observed span."""
+    import gzip
+    spans = {}
+    order = []
+    with gzip.open(geno, "rt") as f:
+        f.readline()
+        for ln in f:
+            s, p, _ = ln.split("\t", 2)
+            p = int(p)
+            if s not in spans:
+                spans[s] = [p, p]
+                order.append(s)
+            else:
+                spans[s][1] = p
+    with open(path, "w") as f:
+        for s in order:
+            a, b = spans[s]
+            w = 1
+            for start in range(1, b + 1, size):
+                f.write(f"{s}\t{start}\t{start + size - 1}\t{s}_w{w}\n")
+                w += 1
+
+
+POPS2 = lambda p: ["-p", "pop1", "-p", "pop2", "--popsFile", str(p)]  # noqa: E731
+POPS4 = lambda p: ["-p", "pop1", "-p", "pop2", "-p", "pop3", "-p", "pop4",  # noqa: E731
+                   "--popsFile", str(p)]
+ABBA_POPS = lambda p: ["-P1", "pop1", "-P2", "pop2", "-P3", "pop3",  # noqa: E731
+                       "-O", "pop4", "--popsFile", str(p)]
+
+
+def config_cmds(geno, pops, wc, out_dir):
+    """Returns {name: [(engine_module, args, ref_script, ref_args), ...]}.
+
+    Each config is a list of pipeline steps; sites/s uses the dataset site
+    count over the summed step time.
+    """
+    o = lambda n: str(Path(out_dir) / n)  # noqa: E731
+    g = str(geno)
+    return {
+        "popgen": [(
+            "genomics_general_tpu.cli.popgen_windows",
+            ["-g", g, "-f", "phased", "-w", "50000", "-m", "100",
+             *POPS2(pops), "--analysis", "popDist", "popPairDist",
+             "-o", o("popgen.csv")],
+            "popgenWindows.py", None)],
+        "popgen4": [(
+            "genomics_general_tpu.cli.popgen_windows",
+            ["-g", g, "-f", "phased", "--windType", "sites", "-w", "250",
+             "-m", "100", *POPS4(pops),
+             "--analysis", "popDist", "popPairDist", "indHet",
+             "-o", o("popgen4.csv")],
+            "popgenWindows.py", None), (
+            "genomics_general_tpu.cli.popgen_windows",
+            ["-g", g, "-f", "phased", "--windType", "predefined",
+             "--windCoords", str(wc), "-m", "100", *POPS4(pops),
+             "--analysis", "popDist", "-o", o("popgen4b.csv")],
+            "popgenWindows.py", None)],
+        "abba": [(
+            "genomics_general_tpu.cli.abba_windows",
+            ["-g", g, "-f", "phased", "--windType", "sites", "-w", "100",
+             "-m", "50", "--minData", "0.5", *ABBA_POPS(pops),
+             "-o", o("abba.csv")],
+            "ABBABABAwindows.py", None)],
+        "freqsfs": [(
+            "genomics_general_tpu.cli.freq",
+            ["-g", g, "-f", "phased", *POPS4(pops),
+             "-o", o("freq.tsv")],
+            "freq.py",
+            ["-g", "SUB", "-f", "phased", *POPS4(pops),
+             "-o", o("ref_freq.tsv"), "-t", "1"]), (
+            "genomics_general_tpu.cli.sfs",
+            ["-i", o("freq.tsv"), "--inputType", "baseCounts",
+             "-p", "pop1", "-p", "pop2", "--doPairs",
+             "--pref", o("sfs_"), "--suff", ".sfs"],
+            "sfs.py",
+            ["-i", o("ref_freq.tsv"), "--inputType", "baseCounts",
+             "-p", "pop1", "-p", "pop2", "--doPairs",
+             "--pref", o("ref_sfs_"), "--suff", ".sfs"])],
+        "dmat4pop": [(
+            "genomics_general_tpu.cli.dist_mat",
+            ["-g", g, "-f", "phased", "--windType", "cat",
+             "--outFormat", "phylip", "-o", o("dmat.phy")],
+            "distMat.py", None), (
+            "genomics_general_tpu.cli.four_pop_windows",
+            ["-g", g, "-f", "phased", "-w", "50000", "-m", "50",
+             "--minData", "0.3", *ABBA_POPS(pops),
+             "-o", o("fourpop.csv")],
+            "fourPopWindows.py", None)],
+    }
+
+
+def run_engine_step(module, args):
+    import importlib
+    mod = importlib.import_module(module)
+    t0 = time.perf_counter()
+    mod.main(list(args))
+    return time.perf_counter() - t0
+
+
+def run_ref_step(script, args):
+    env = dict(os.environ, PYTHONHASHSEED="0")
+    t0 = time.perf_counter()
+    r = subprocess.run([sys.executable, f"{REF_PATH}/{script}", *args],
+                       capture_output=True, env=env, timeout=1800)
+    dt = time.perf_counter() - t0
+    return dt if r.returncode == 0 else None
+
+
+def swap_input(args, old, new):
+    return [a.replace(str(old), str(new)) if isinstance(a, str) else a
+            for a in args]
+
+
+def main():
+    geno, pops, sub, wc, wc_sub = ensure_data()
+    out_dir = Path("/tmp/bench_all")
+    out_dir.mkdir(exist_ok=True)
+    results = {}
+    only = set(sys.argv[1:])
+    for name, steps in config_cmds(geno, pops, wc, out_dir).items():
+        if only and name not in only:
+            continue
+        # engine: warm-up then median of N_RUNS
+        for module, args, _, _ in steps:
+            run_engine_step(module, args)            # compile warm-up
+        times = []
+        for _ in range(N_RUNS):
+            dt = 0.0
+            for module, args, _, _ in steps:
+                dt += run_engine_step(module, args)
+            times.append(dt)
+        eng_dt = statistics.median(times)
+        eng_sps = SITES / eng_dt
+
+        # reference single-thread on the subset
+        ref_sps = None
+        ref_times = []
+        thread_flag = {"freq.py": ["-t", "1"], "sfs.py": []}
+        if Path(REF_PATH).exists():
+            for _ in range(N_RUNS):
+                dt = 0.0
+                ok = True
+                for module, args, script, ref_args in steps:
+                    if ref_args is None:
+                        rargs = swap_input(args, geno, sub)
+                        rargs = swap_input(rargs, wc, wc_sub)
+                        rargs += thread_flag.get(script, ["-T", "1"])
+                    else:
+                        rargs = swap_input(ref_args, "SUB", sub)
+                    d = run_ref_step(script, rargs)
+                    if d is None:
+                        ok = False
+                        break
+                    dt += d
+                if ok:
+                    ref_times.append(dt)
+        if ref_times:
+            ref_sps = REF_SITES / statistics.median(ref_times)
+
+        row = {
+            "config": name,
+            "engine_sites_per_s": round(eng_sps, 1),
+            "engine_runs_s": [round(t, 3) for t in times],
+            "ref_sites_per_s": round(ref_sps, 1) if ref_sps else None,
+            "ref_runs_s": [round(t, 3) for t in ref_times],
+            "speedup": round(eng_sps / ref_sps, 2) if ref_sps else None,
+        }
+        results[name] = row
+        print(json.dumps(row), flush=True)
+
+    with open(REPO / "BASELINE_RESULTS.json", "w") as f:
+        json.dump({"sites": SITES, "ref_sites": REF_SITES,
+                   "results": results}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,10 @@ def build_parser(full_panel: bool) -> argparse.ArgumentParser:
 def main(argv=None, full_panel: bool = False) -> int:
     import os
 
+    from ..jaxconfig import enable_compilation_cache
+    from ..parallel import multihost
+    multihost.maybe_initialize()     # must precede any XLA backend touch
+    enable_compilation_cache()
     use_device = os.environ.get("GGT_ABBA_HOST") != "1"
     if use_device:
         # the fused window reduction fetches [W, K] float64 sums instead of
@@ -102,7 +106,29 @@ def main(argv=None, full_panel: bool = False) -> int:
     head = "scaffold,start,end,mid,sites,sitesUsed," + ",".join(stats)
     if args.addWindowID:
         head = "windowID," + head
-    out, skip_windows, cursor = common.open_resumable_out(args, head + "\n")
+
+    n_procs = multihost.process_count()
+    if n_procs > 1:
+        # per-host scaffold sharding; rows gathered to an ordered host-0
+        # writer at the end (parallel/multihost.py), like popgen_windows
+        assert not args.resume, "--resume is not supported in multi-host runs"
+        assert not (args.addWindowID and wind["windType"] != "predefined"), \
+            "--addWindowID numbering is per-host in sharded runs; use " \
+            "predefined windows (IDs from the file) instead"
+        shard_pred = multihost.shard_predicate(n_procs,
+                                               multihost.process_index())
+        wc_order_keys = None
+        if wind.get("windCoords"):
+            kept = [(i, r) for i, r in enumerate(wind["windCoords"])
+                    if shard_pred(r[0])]
+            wind["windCoords"] = [r for _, r in kept]
+            wc_order_keys = [i for i, _ in kept]
+        mh_writer = multihost.MultiHostWriter()
+        out, skip_windows, cursor = None, 0, None
+    else:
+        shard_pred, mh_writer, wc_order_keys = None, None, None
+        out, skip_windows, cursor = common.open_resumable_out(
+            args, head + "\n")
 
     mesh = common.get_mesh()
     timer = engine.StageTimer(args.profile)
@@ -178,13 +204,20 @@ def main(argv=None, full_panel: bool = False) -> int:
                 row = []
                 if args.addWindowID:
                     row.append(str(plan.ids[w]))
-                row += [batch.scaffold_names[plan.scaffold_id[w]]
-                        if plan.scaffold_id[w] >= 0 else "None",
+                scaf_name = batch.scaffold_names[plan.scaffold_id[w]] \
+                    if plan.scaffold_id[w] >= 0 else "None"
+                row += [scaf_name,
                         str(int(plan.start[w])), str(int(plan.end[w])),
                         writers.fmt_int_or_nan(mid[w]), str(n_sites_w),
                         str(sites_used) if sites_used == sites_used else "nan"]
                 row += values
-                out.write(",".join(row) + "\n")
+                text = ",".join(row) + "\n"
+                if mh_writer is not None:
+                    key = wc_order_keys[batch.window_offset + w] \
+                        if wc_order_keys is not None else None
+                    mh_writer.write_row(scaf_name, text, order_key=key)
+                else:
+                    out.write(text)
                 rows_written += 1
             progress.update(rows=rows_written)
             if cursor is not None:
@@ -196,7 +229,7 @@ def main(argv=None, full_panel: bool = False) -> int:
             reader, wind,
             include=common.read_scaffold_list(args.include),
             exclude=common.read_scaffold_list(args.exclude),
-            progress=progress, timer=timer):
+            progress=progress, timer=timer, scaffold_pred=shard_pred):
         if batch.plan.n_windows == 0:
             continue
         if batch.window_offset + batch.plan.n_windows <= skip_windows:
@@ -208,6 +241,15 @@ def main(argv=None, full_panel: bool = False) -> int:
     if in_flight is not None:
         finalize(*in_flight)
 
+    if mh_writer is not None:
+        out = writers.open_out(args.outFile) \
+            if multihost.process_index() == 0 else None
+        mh_writer.finish(out, head + "\n", reader.scaffold_names)
+        if args.outFile and out is not None:
+            out.close()
+        progress.close()
+        timer.report()
+        return 0
     if cursor is not None:
         cursor.clear()
     if args.outFile:

@@ -89,6 +89,10 @@ def _read_table_counts(path_or_stdin, header, first_sample_col, parse):
 
 
 def main(argv=None) -> int:
+    from ..jaxconfig import enable_compilation_cache
+    from ..parallel import multihost
+    multihost.maybe_initialize()     # must precede any XLA backend touch
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
 
     include = list(args.include) if args.include else []
@@ -181,12 +185,7 @@ def _run(args, include, exclude, n_intervals):
         sd = SampleData(ind_names=list(all_samples), pop_names=list(pop_names),
                         pop_inds=pop_dict, ploidy=ploidy_dict)
         reader = geno_io.rebind_reader(probe, sd)
-        data = reader.read_all()
-        model = data.model
-        S = data.n_sites
-        scaf_of_site = np.array(data.scaffold_names, dtype=object)[data.scaffold_ids] \
-            if S else np.array([], dtype=object)
-        positions = data.positions
+        S = None                         # streamed; never materialized
     else:
         parse = float if input_type == "baseCounts" else int
         names, scafs, positions_l, rows = _read_table_counts(
@@ -246,158 +245,245 @@ def _run(args, include, exclude, n_intervals):
     fss = [SparseFS(len(g), n_intervals) for g in fs_pops]
 
     # ---------------- site filtering + counts
+    if input_type == "genotypes":
+        from ..parallel import multihost
+        n_procs = multihost.process_count()
+        shard_pred = None
+        if n_procs > 1:
+            assert subsample_dict is None, \
+                "--subsample consumes a single RNG stream and cannot be " \
+                "scaffold-sharded; run multi-host sfs without it"
+            shard_pred = multihost.shard_predicate(
+                n_procs, multihost.process_index())
+        emitters = _stream_genotypes(
+            args, reader, pop_names, in_pop_names, outgroup, n_hap,
+            pop_dict, subsample_dict, fs_pops, fss, include, exclude,
+            intervals, n_intervals, shard_pred)
+        if n_procs > 1:
+            # merge the per-host dense accumulators with device collectives
+            # over the global mesh (sum of counts, min of first-occurrence
+            # keys reproduces the single-host nested insertion order)
+            for acc in emitters:
+                acc.counts = multihost.collective_reduce(acc.counts, "sum")
+                acc.first = multihost.collective_reduce(acc.first, "min")
+            if multihost.process_index() != 0:
+                return 0
+        return _write_output(args, emitters, fs_pops)
+
+    keep = np.ones(S, dtype=bool) if S else np.zeros(0, dtype=bool)
     if S:
-        keep = np.ones(S, dtype=bool)
         if include is not None:
             keep &= np.array([s in include for s in scaf_of_site])
         if exclude is not None:
             keep &= np.array([s not in exclude for s in scaf_of_site])
+
+    # ---------------- table inputs (baseCounts / targetCounts)
+    fast_table = (input_type == "baseCounts" and subsample_dict is None
+                  and intervals is None)
+    if fast_table:
+        # vectorized: bincount into dense spectra, insertion order recovered
+        # from first-occurrence keys (stats/sfs_accum.py)
+        from ..stats.sfs_accum import DenseFS, ScaffoldKeyTracker, \
+            vector_targets
+        arrs = np.array([[rows[s][col_of[p]] for p in in_pop_names]
+                         for s in range(S)], dtype=np.int64) \
+            if S else np.zeros((0, len(in_pop_names), 4), np.int64)
+        out_col = col_of[outgroup] if outgroup else None
+        out_counts = np.array([np.asarray(rows[s][out_col]) for s in range(S)],
+                              dtype=np.int64) if outgroup and S else None
+        sids = np.zeros(S, dtype=np.int64)
+        if S > 1:
+            change = scaf_of_site[1:] != scaf_of_site[:-1]
+            sids = np.concatenate([[0], np.cumsum(change)])
+        keys = ScaffoldKeyTracker().keys_for(sids)
+        sel = np.flatnonzero(keep)
+        ok, tgt = vector_targets(arrs[sel],
+                                 out_counts[sel] if outgroup else None)
+        tgt, keys_ok = tgt[ok], keys[sel][ok]
+        n_hap_tab = arrs.sum(axis=2).max(axis=0) if S else \
+            np.zeros(len(in_pop_names), np.int64)
+        emitters = []
+        for g in fs_pops:
+            gp = [in_pop_names.index(p) for p in g]
+            acc = DenseFS(tuple(int(n_hap_tab[j]) + 1 for j in gp),
+                          n_intervals)
+            acc.add_batch(acc.flat_index(tgt[:, gp]), keys_ok)
+            emitters.append(acc)
+        return _write_output(args, emitters, fs_pops)
+
+    if input_type == "baseCounts":
+        out_col = col_of[outgroup] if outgroup else None
+        for s in np.flatnonzero(keep):
+            add_value = 1
+            if intervals is not None:
+                add_value = intervals.contains_point(
+                    pos=positions[s], chrom=scaf_of_site[s])
+                if add_value.sum() == 0:
+                    continue
+            arr = np.array([rows[s][col_of[p]] for p in in_pop_names],
+                           dtype=np.int64)
+            if subsample_dict:
+                try:
+                    arr = np.array([down_sample_base_counts(
+                        arr[i, :], subsample_dict[in_pop_names[i]])
+                        for i in range(len(in_pop_names))])
+                except ValueError:
+                    continue
+            out_c = np.asarray(rows[s][out_col]) if outgroup else None
+            tc = get_target_counts(arr, out_c)
+            if tc is None:
+                continue
+            d = dict(zip(in_pop_names, tc))
+            for i, g in enumerate(fs_pops):
+                fss[i].add([d[p] for p in g], add_value)
     else:
-        keep = np.zeros(0, dtype=bool)
-
-    in_idx = [pop_names.index(p) for p in in_pop_names]
-
-    if input_type == "genotypes":
-        P = len(pop_names)
-        mask = np.zeros((P, model.n_rows), dtype=np.float32)
-        for k, p in enumerate(pop_names):
-            mask[k, model.pop_row_indices[p]] = 1.0
-        counts = counts_k.site_pop_counts_chunked(data.alleles, mask)  # [S,P,4]
-        n_hap_arr = np.array([n_hap[p] for p in in_pop_names])
-
-        if subsample_dict is None:
-            in_counts = counts[:, in_idx, :].astype(np.int64)
-            complete = (in_counts.sum(axis=2) == n_hap_arr[None, :]).all(axis=1)
-            cand = np.flatnonzero(keep & complete)
-            out_counts_all = counts[:, pop_names.index(outgroup), :] \
-                if outgroup else None
-            _accumulate(cand, in_counts, out_counts_all, scaf_of_site,
-                        positions, intervals, fs_pops, in_pop_names, fss)
-        else:
-            # host loop preserving the reference RNG stream order
-            out_k = pop_names.index(outgroup) if outgroup else None
-            for s in np.flatnonzero(keep):
-                add_value = 1
-                if intervals is not None:
-                    add_value = intervals.contains_point(
-                        pos=positions[s], chrom=scaf_of_site[s])
-                    if add_value.sum() == 0:
-                        continue
-                if not args.subsampleIndividuals:
-                    try:
-                        arr = np.array([
-                            down_sample_base_counts(
-                                counts[s, pop_names.index(p), :],
-                                subsample_dict[p])
-                            for p in in_pop_names])
-                    except ValueError:
-                        continue
-                else:
-                    arr = _subsample_individuals(
-                        data, model, pop_dict, in_pop_names, subsample_dict, s)
-                    if arr is None:
-                        continue
-                if not np.all(arr.sum(axis=1) == n_hap_arr):
+        for s in np.flatnonzero(keep):
+            add_value = 1
+            if intervals is not None:
+                add_value = intervals.contains_point(
+                    pos=positions[s], chrom=scaf_of_site[s])
+                if add_value.sum() == 0:
                     continue
-                out_c = counts[s, out_k, :] if outgroup else None
-                tc = get_target_counts(arr, out_c)
-                if tc is None:
-                    continue
-                d = dict(zip(in_pop_names, tc))
-                for i, g in enumerate(fs_pops):
-                    fss[i].add([d[p] for p in g], add_value)
-    else:
-        # table inputs
-        if input_type == "baseCounts":
-            arrs = np.array([[rows[s][col_of[p]] for p in in_pop_names]
-                             for s in range(S)], dtype=np.int64) \
-                if S else np.zeros((0, len(in_pop_names), 4), np.int64)
-            out_col = col_of[outgroup] if outgroup else None
-            for s in np.flatnonzero(keep):
-                add_value = 1
-                if intervals is not None:
-                    add_value = intervals.contains_point(
-                        pos=positions[s], chrom=scaf_of_site[s])
-                    if add_value.sum() == 0:
-                        continue
-                arr = arrs[s]
-                if subsample_dict:
-                    try:
-                        arr = np.array([down_sample_base_counts(
-                            arr[i, :], subsample_dict[in_pop_names[i]])
-                            for i in range(len(in_pop_names))])
-                    except ValueError:
-                        continue
-                out_c = np.asarray(rows[s][out_col]) if outgroup else None
-                tc = get_target_counts(arr, out_c)
-                if tc is None:
-                    continue
-                d = dict(zip(in_pop_names, tc))
-                for i, g in enumerate(fs_pops):
-                    fss[i].add([d[p] for p in g], add_value)
-        else:
-            for s in np.flatnonzero(keep):
-                add_value = 1
-                if intervals is not None:
-                    add_value = intervals.contains_point(
-                        pos=positions[s], chrom=scaf_of_site[s])
-                    if add_value.sum() == 0:
-                        continue
-                d = {p: rows[s][col_of[p]] for p in in_pop_names}
-                for i, g in enumerate(fs_pops):
-                    fss[i].add([d[p] for p in g], add_value)
+            d = {p: rows[s][col_of[p]] for p in in_pop_names}
+            for i, g in enumerate(fs_pops):
+                fss[i].add([d[p] for p in g], add_value)
 
-    # ---------------- output (sfs.py:499-505)
+    return _write_output(args, fss, fs_pops)
+
+
+def _write_output(args, emitters, fs_pops) -> int:
+    """Emit one spectrum per FS group (sfs.py:499-505)."""
     if args.pipe:
-        for fs in fss:
+        for fs in emitters:
             sys.stdout.write(fs.as_text())
     else:
-        for i, fs in enumerate(fss):
+        for i, fs in enumerate(emitters):
             with open(args.pref + "_".join(fs_pops[i]) + args.suff, "w") as out:
                 out.write(fs.as_text())
     return 0
 
 
-def _accumulate(cand, in_counts, out_counts_all, scaf_of_site, positions,
-                intervals, fs_pops, in_pop_names, fss):
-    """Vectorized target selection + insertion-ordered accumulation for the
-    non-subsampled genotypes path."""
-    if cand.size == 0:
-        return
-    sub = in_counts[cand]                       # [C, Pin, 4]
-    total = sub.sum(axis=1)                     # [C, 4]
-    alleles = total > 0
-    if out_counts_all is not None:
-        out_sub = out_counts_all[cand].astype(np.int64)
-        out_alleles = out_sub > 0
-        all_alleles = alleles | out_alleles
-        n_all = all_alleles.sum(axis=1)
-        n_out = out_alleles.sum(axis=1)
-        ok = (n_all >= 1) & (n_all <= 2) & (n_out == 1)
-        cand_mask = ~out_alleles & alleles
-        has_cand = cand_mask.any(axis=1)
-        target = np.where(has_cand, np.argmax(cand_mask, axis=1),
-                          np.argmax(~alleles, axis=1))
-    else:
-        n_all = alleles.sum(axis=1)
-        ok = (n_all >= 1) & (n_all <= 2)
-        target = np.argsort(total, axis=1)[:, -2]
-    rows = np.arange(cand.size)
-    tgt_counts = sub[rows[:, None], np.arange(sub.shape[1])[None, :], target[:, None]]
-    for j in np.flatnonzero(ok):
-        s = cand[j]
-        add_value = 1
-        if intervals is not None:
-            add_value = intervals.contains_point(pos=positions[s],
-                                                 chrom=scaf_of_site[s])
-            if add_value.sum() == 0:
+def _stream_genotypes(args, reader, pop_names, in_pop_names, outgroup, n_hap,
+                      pop_dict, subsample_dict, fs_pops, fss, include,
+                      exclude, intervals, n_intervals, shard_pred):
+    """Streaming accumulation over geno chunks: device counting kernel with
+    dispatch/collect overlap, O(chunk) host memory (the reference streams
+    site-by-site, sfs.py:428-496; the old path here materialized the whole
+    genome).  Returns the list of per-group emitters (DenseFS on the fast
+    path, the SparseFS list under --subsample)."""
+    from .. import engine as _engine
+    from ..stats.sfs_accum import DenseFS, ScaffoldKeyTracker, vector_targets
+
+    model = reader.model
+    P = len(pop_names)
+    mask = np.zeros((P, model.n_rows), dtype=np.float32)
+    for k, p in enumerate(pop_names):
+        mask[k, model.pop_row_indices[p]] = 1.0
+    in_k = [pop_names.index(p) for p in in_pop_names]
+    out_k = pop_names.index(outgroup) if outgroup else None
+    n_hap_arr = np.array([n_hap[p] for p in in_pop_names])
+    fast = subsample_dict is None
+    if fast:
+        accs = [DenseFS(tuple(n_hap[p] + 1 for p in g), n_intervals)
+                for g in fs_pops]
+        g_pos = [[in_pop_names.index(p) for p in g] for g in fs_pops]
+    tracker = ScaffoldKeyTracker()
+
+    def keep_mask(sids):
+        if include is None and exclude is None and shard_pred is None:
+            return None
+        names = reader.scaffold_names
+        ok = np.array([(include is None or n in include)
+                       and (exclude is None or n not in exclude)
+                       and (shard_pred is None or shard_pred(n))
+                       for n in names])
+        return ok[sids]
+
+    def process(chunk, counts):
+        sids, pos = chunk.scaffold_ids, chunk.positions
+        alleles = chunk.alleles
+        km = keep_mask(sids)
+        if km is not None:
+            counts, sids, pos = counts[km], sids[km], pos[km]
+            alleles = alleles[:, km]
+        if pos.size == 0:
+            return
+        keys = tracker.keys_for(sids)
+        if fast:
+            in_counts = counts[:, in_k, :].astype(np.int64)
+            complete = (in_counts.sum(axis=2) == n_hap_arr[None, :]).all(axis=1)
+            cand = np.flatnonzero(complete)
+            if cand.size == 0:
+                return
+            out_counts = counts[cand][:, out_k, :].astype(np.int64) \
+                if out_k is not None else None
+            ok, tgt = vector_targets(in_counts[cand], out_counts)
+            sel = cand[ok]
+            tgt, keys_ok = tgt[ok], keys[sel]
+            values = None
+            if intervals is not None:
+                vals = np.zeros((sel.size, n_intervals), dtype=np.int64)
+                good = np.ones(sel.size, dtype=bool)
+                for j, s in enumerate(sel):
+                    av = intervals.contains_point(
+                        pos=pos[s], chrom=reader.scaffold_names[sids[s]])
+                    if av.sum() == 0:
+                        good[j] = False
+                    else:
+                        vals[j] = av
+                tgt, keys_ok, values = tgt[good], keys_ok[good], vals[good]
+            for acc, gp in zip(accs, g_pos):
+                acc.add_batch(acc.flat_index(tgt[:, gp]), keys_ok, values)
+            return
+        # --subsample: per-site host loop consuming the reference's exact
+        # np.random / random stream order (sfs.py:23-24, 44-49)
+        for s in range(pos.size):
+            add_value = 1
+            if intervals is not None:
+                add_value = intervals.contains_point(
+                    pos=pos[s], chrom=reader.scaffold_names[sids[s]])
+                if add_value.sum() == 0:
+                    continue
+            if not args.subsampleIndividuals:
+                try:
+                    arr = np.array([
+                        down_sample_base_counts(
+                            counts[s, pop_names.index(p), :],
+                            subsample_dict[p])
+                        for p in in_pop_names])
+                except ValueError:
+                    continue
+            else:
+                arr = _subsample_individuals(
+                    alleles, model, pop_dict, in_pop_names,
+                    subsample_dict, s)
+                if arr is None:
+                    continue
+            if not np.all(arr.sum(axis=1) == n_hap_arr):
                 continue
-        d = dict(zip(in_pop_names, tgt_counts[j]))
-        for i, g in enumerate(fs_pops):
-            fss[i].add([d[p] for p in g], add_value)
+            out_c = counts[s, out_k, :] if out_k is not None else None
+            tc = get_target_counts(arr, out_c)
+            if tc is None:
+                continue
+            d = dict(zip(in_pop_names, tc))
+            for i, g in enumerate(fs_pops):
+                fss[i].add([d[p] for p in g], add_value)
+
+    prev = None
+    for chunk in _engine._prefetched(reader.iter_chunks()):
+        handle = counts_k.site_pop_counts_dispatch(chunk.alleles, mask)
+        if prev is not None:
+            pc, ph = prev
+            process(pc, ph.collect())
+        prev = (chunk, handle)
+    if prev is not None:
+        pc, ph = prev
+        process(pc, ph.collect())
+    return accs if fast else fss
 
 
-def _subsample_individuals(data, model, pop_dict, in_pop_names, subsample_dict, s):
+def _subsample_individuals(alleles, model, pop_dict, in_pop_names,
+                           subsample_dict, s):
     """Per-individual subsampling (sfs.py:44-49), preserving RNG semantics
     (random.sample over good individual indices)."""
     import random
@@ -407,7 +493,7 @@ def _subsample_individuals(data, model, pop_dict, in_pop_names, subsample_dict, 
         arr = []
         for ind in pop_dict[p]:
             ridx = [i for i, sn in enumerate(model.row_sample) if sn == ind]
-            vals = data.alleles[ridx, s]
+            vals = alleles[ridx, s]
             vals = vals[vals >= 0]
             arr.append(np.bincount(vals, minlength=4))
         arr = np.array(arr)

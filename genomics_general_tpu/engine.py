@@ -175,6 +175,71 @@ class Cursor:
 
 # ------------------------------------------------------------------ batches
 
+class _SiteBuffer:
+    """Rolling (alleles, positions, scaffold_ids) buffer with amortized
+    growth.
+
+    Appending a chunk copies only the chunk (doubling capacity when needed)
+    instead of re-concatenating the whole buffer per chunk — on genome-scale
+    streams the old ``np.concatenate`` pattern rewrote tens of MB for every
+    16 MB parsed.  ``trim`` is a logical offset; the storage is compacted on
+    the next growth.  Consumers get *copies* of the active span (see
+    ``stream_windows.make_batch``), so compaction can never invalidate an
+    in-flight batch."""
+
+    def __init__(self, H: int, cap: int = 1 << 18):
+        self.H = H
+        self.alleles = np.empty((H, cap), dtype=np.int8)
+        self.pos = np.empty(cap, dtype=np.int64)
+        self.sids = np.empty(cap, dtype=np.int32)
+        self.start = 0
+        self.end = 0
+
+    @property
+    def n(self) -> int:
+        return self.end - self.start
+
+    def append(self, a: np.ndarray, p: np.ndarray, s: np.ndarray):
+        m = p.shape[0]
+        cap = self.pos.shape[0]
+        if self.end + m > cap:
+            # compact (and grow if the active span + chunk still won't fit);
+            # fresh arrays, so any outstanding views of the old storage
+            # (inside this generator only) stay coherent
+            n = self.n
+            new_cap = cap
+            while new_cap < n + m:
+                new_cap *= 2
+            na = np.empty((self.H, new_cap), dtype=np.int8)
+            np_ = np.empty(new_cap, dtype=np.int64)
+            ns = np.empty(new_cap, dtype=np.int32)
+            na[:, :n] = self.alleles[:, self.start:self.end]
+            np_[:n] = self.pos[self.start:self.end]
+            ns[:n] = self.sids[self.start:self.end]
+            self.alleles, self.pos, self.sids = na, np_, ns
+            self.start, self.end = 0, n
+        self.alleles[:, self.end:self.end + m] = a
+        self.pos[self.end:self.end + m] = p
+        self.sids[self.end:self.end + m] = s
+        self.end += m
+
+    def view(self):
+        return (self.alleles[:, self.start:self.end],
+                self.pos[self.start:self.end],
+                self.sids[self.start:self.end])
+
+    def copy_span(self, n_sites: int):
+        """Copies of the first ``n_sites`` of the active span (safe to hold
+        across later appends/compactions)."""
+        e = self.start + n_sites
+        return (self.alleles[:, self.start:e].copy(),
+                self.pos[self.start:e].copy(),
+                self.sids[self.start:e].copy())
+
+    def trim(self, k: int):
+        self.start += k
+
+
 @dataclass
 class StreamBatch:
     """One flush of completed windows over the current rolling buffer.
@@ -238,9 +303,7 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
     exc = set(exclude) if exclude is not None else None
 
     H = reader.model.n_rows
-    buf_alleles = np.empty((H, 0), dtype=np.int8)
-    buf_pos = np.empty(0, dtype=np.int64)
-    buf_sids = np.empty(0, dtype=np.int32)
+    buf = _SiteBuffer(H)
     window_offset = 0
     pending: list[W.WindowPlan] = []
     pending_windows = 0
@@ -283,8 +346,12 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         plan = (_concat_plans(pending, planner.wt) if pending
                 else W.IncrementalPlanner._empty(planner.wt))
         needed = int(plan.last.max()) if plan.n_windows else 0
-        batch = StreamBatch(plan=plan, alleles=buf_alleles,
-                            positions=buf_pos, scaffold_ids=buf_sids,
+        # hand out COPIES of the needed span: the rolling buffer keeps
+        # mutating (appends/compaction) while this batch is still in flight
+        # in the caller's dispatch/finalize overlap
+        a, p, s = buf.copy_span(needed)
+        batch = StreamBatch(plan=plan, alleles=a,
+                            positions=p, scaffold_ids=s,
                             scaffold_names=reader.scaffold_names,
                             window_offset=window_offset, needed_end=needed)
         if progress:
@@ -295,17 +362,15 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         return batch
 
     def trim():
-        nonlocal buf_alleles, buf_pos, buf_sids, consumed
+        nonlocal consumed
         if consumed > 0:
-            buf_alleles = buf_alleles[:, consumed:]
-            buf_pos = buf_pos[consumed:]
-            buf_sids = buf_sids[consumed:]
+            buf.trim(consumed)
             consumed = 0
 
     def plan_step(final: bool):
         nonlocal pending, pending_windows, consumed
-        piece, keep = planner.plan(buf_sids[consumed:], buf_pos[consumed:],
-                                   final)
+        _, vpos, vsids = buf.view()
+        piece, keep = planner.plan(vsids[consumed:], vpos[consumed:], final)
         if piece.n_windows:
             piece.first += consumed
             piece.last += consumed
@@ -317,10 +382,7 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         a, p, s = filter_chunk(chunk)
         if p.size == 0:
             continue
-        buf_alleles = np.concatenate([buf_alleles, a], axis=1) \
-            if buf_pos.size else a
-        buf_pos = np.concatenate([buf_pos, p]) if buf_pos.size else p
-        buf_sids = np.concatenate([buf_sids, s]) if buf_sids.size else s
+        buf.append(a, p, s)
         if progress:
             progress.update(sites=p.size)
         # plan over the new sites; flush when enough windows are ready
@@ -328,7 +390,7 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         threshold = flush_schedule[flush_count] \
             if flush_count < len(flush_schedule) else min_flush_windows
         if (pending_windows >= threshold
-                or buf_pos.size > max_buffer_sites):
+                or buf.n > max_buffer_sites):
             flush_count += 1
             yield make_batch()
             trim()

@@ -104,6 +104,52 @@ def first_data_line(blob) -> bytes | None:
     return None
 
 
+class _ZlibStreamFile:
+    """File-like zlib streaming decompressor over an in-memory gzip blob.
+
+    Used by the hybrid-start path: serves the first decompressed bytes while
+    the (much faster, but one-shot) libdeflate whole-file decompress runs in
+    a background thread.  ``served`` counts bytes handed out so the reader
+    can jump into the whole-file buffer at the right offset."""
+
+    def __init__(self, data: bytes):
+        import zlib
+        self._zlib = zlib
+        self.obj = zlib.decompressobj(31)
+        self.pending: bytes | None = data
+        self.served = 0
+        self.eof = False
+
+    def read(self, n: int) -> bytes:
+        if self.eof:
+            return b""
+        out = []
+        got = 0
+        while got < n:
+            if self.obj.unconsumed_tail:
+                chunk = self.obj.decompress(self.obj.unconsumed_tail, n - got)
+            elif self.pending is not None:
+                chunk = self.obj.decompress(self.pending, n - got)
+                self.pending = None
+            else:
+                chunk = b""
+            if chunk:
+                out.append(chunk)
+                got += len(chunk)
+                continue
+            if self.obj.eof and self.obj.unused_data:
+                # multi-member gzip: restart on the next member
+                nxt = self.obj.unused_data
+                self.obj = self._zlib.decompressobj(31)
+                self.pending = nxt
+                continue
+            self.eof = True
+            break
+        b = b"".join(out)
+        self.served += len(b)
+        return b
+
+
 class GenoReader:
     """Chunked reader producing numeric haplotype matrices.
 
@@ -121,21 +167,36 @@ class GenoReader:
                  geno_format: str = "phased", header: str | None = None,
                  chunk_bytes: int = 16 << 20):
         self._whole: np.ndarray | None = None
+        self._gz_stream = None           # hybrid-start zlib streamer
+        self._gz_thread = None
+        self._gz_result: list = []
         if isinstance(fileobj, str):
             if fileobj.endswith(".gz") and os.path.getsize(fileobj) < (4 << 30) \
                     and os.environ.get("GGT_NO_NATIVE_PARSER") != "1":
-                # whole-file libdeflate decompression (2-3x faster than zlib),
-                # kept as a numpy buffer for the zero-copy native parse path
+                # Hybrid decompression: whole-file libdeflate (2-3x faster
+                # than zlib) runs in a background thread while a zlib
+                # streamer serves the first chunks immediately — the parse /
+                # upload / compute pipeline starts ~200 ms earlier instead of
+                # stalling behind the full-file decompress.  Once the
+                # libdeflate buffer is ready, chunking jumps to it at the
+                # byte offset already served.
+                data = open(fileobj, "rb").read()
                 try:
+                    import threading
+                    import zlib as _zlib
                     from .native import gzip_decompress_array
-                    self._whole = gzip_decompress_array(open(fileobj, "rb").read())
+                    def _bg():
+                        try:
+                            self._gz_result.append(gzip_decompress_array(data))
+                        except Exception:
+                            self._gz_result.append(None)
+                    self._gz_thread = threading.Thread(target=_bg, daemon=True)
+                    self._gz_thread.start()
+                    self._gz_stream = _ZlibStreamFile(data)
+                    fileobj = self._gz_stream
                 except Exception:
-                    self._whole = None
-                if self._whole is None:
+                    self._gz_stream = None
                     fileobj = open_maybe_gz(fileobj, "rb")
-                else:
-                    fileobj = _io.BytesIO(b"")
-                    self._whole_off = 0
             else:
                 fileobj = open_maybe_gz(fileobj, "rb")
         if hasattr(fileobj, "buffer"):      # text stdin
@@ -206,6 +267,23 @@ class GenoReader:
     def _read_chunk_lines(self):
         """Return a blob (bytes or uint8 array) of whole lines ending with a
         newline, or None at EOF."""
+        if self._gz_thread is not None:
+            if not self._gz_result \
+                    and self._gz_stream.served > 2 * self.chunk_bytes:
+                # the zlib streamer exists only to start the pipeline early;
+                # past a couple of chunks, double-decompression oversubscribes
+                # the host cores — block on libdeflate instead
+                self._gz_thread.join()
+            if self._gz_result:
+                # libdeflate finished: jump into the whole-file buffer at the
+                # offset the zlib streamer has already served (minus the kept
+                # partial-line tail, which the buffer re-covers)
+                whole = self._gz_result[0]
+                self._gz_thread = None
+                if whole is not None and not self._eof:
+                    self._whole = whole
+                    self._whole_off = self._gz_stream.served - len(self._tail)
+                    self._tail = b""
         if self._whole is not None:
             off = self._whole_off
             total = self._whole.size

@@ -71,6 +71,42 @@ def shard_predicate(n_procs: int, rank: int):
     return lambda name: owner(name, n_procs) == rank
 
 
+def collective_reduce(arr, op: str = "sum"):
+    """Reduce a host-local int64 accumulator across processes on device.
+
+    Builds a one-device-per-process mesh, shards the stacked [n_procs, ...]
+    array over it, and jit-reduces along the process axis — XLA lowers the
+    reduction to a psum/pmin collective over the fabric (ICI/DCN on TPU
+    pods, gloo on the CPU test fabric).  Used to merge SFS spectra counts
+    (sum) and first-occurrence order keys (min); exact for int64."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    n = jax.process_count()
+    if n == 1:
+        return arr
+    devs = [next(d for d in jax.devices() if d.process_index == p)
+            for p in range(n)]
+    mesh = Mesh(np.array(devs), ("hosts",))
+    spec = NamedSharding(mesh, P("hosts"))
+    local = np.ascontiguousarray(arr)[None]
+    with jax.enable_x64():               # int64 must survive the transfer
+        garr = jax.make_array_from_process_local_data(
+            spec, local, (n,) + local.shape[1:])
+
+        @functools.partial(jax.jit, static_argnames=("op",),
+                           out_shardings=NamedSharding(mesh, P()))
+        def red(x, op):
+            return jnp.sum(x, axis=0) if op == "sum" else jnp.min(x, axis=0)
+
+        out = np.asarray(red(garr, op))
+    return out.astype(arr.dtype).reshape(arr.shape)
+
+
 def allgather_bytes(payload: bytes) -> list[bytes]:
     """Gather one bytes blob from every process (returned in rank order)."""
     import numpy as np

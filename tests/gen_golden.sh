@@ -87,6 +87,13 @@ python "$REF/sfs.py" -i $D/sim1.geno.gz --inputType genotypes \
 python "$REF/sfs.py" -i $D/sim1.geno.gz --inputType genotypes \
   --genoFormat phased -p pop1 -p pop2 -p pop4 --popsFile $D/sim1.pops.txt \
   --polarized --pref $G/sfs_pol_ --suff .sfs 2>/dev/null
+python "$REF/sfs.py" -i $D/sim1.geno.gz --inputType genotypes \
+  --genoFormat phased -p pop1 -p pop2 --popsFile $D/sim1.pops.txt \
+  --subsample 6 --seed 42 --pref $G/sfs_sub_ --suff .sfs 2>/dev/null
+python "$REF/sfs.py" -i $D/sim1.geno.gz --inputType genotypes \
+  --genoFormat phased -p pop1 -p pop2 --popsFile $D/sim1.pops.txt \
+  --regions scaf1:1-400000 scaf1:400001-900000 scaf2:1-500000 \
+  --pref $G/sfs_reg_ --suff .sfs 2>/dev/null
 
 echo "== distMat windows =="
 python "$REF/distMat.py" -g $D/sim1.geno.gz -f phased \

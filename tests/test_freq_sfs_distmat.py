@@ -54,6 +54,36 @@ def test_sfs_polarized(tmp_path):
 
 
 @pytest.mark.golden
+def test_sfs_subsample(tmp_path):
+    """Downsampling path: the np.random stream must be consumed in the
+    reference's exact per-site order across streaming chunk boundaries."""
+    pref = str(tmp_path / "sfs_")
+    run_cli("genomics_general_tpu.cli.sfs",
+            ["-i", str(D / "sim1.geno.gz"), "--inputType", "genotypes",
+             "--genoFormat", "phased", "-p", "pop1", "-p", "pop2",
+             "--popsFile", str(D / "sim1.pops.txt"),
+             "--subsample", "6", "--seed", "42",
+             "--pref", pref, "--suff", ".sfs"])
+    assert_text_equal(G / "sfs_sub_pop1.sfs", pref + "pop1.sfs")
+    assert_text_equal(G / "sfs_sub_pop2.sfs", pref + "pop2.sfs")
+
+
+@pytest.mark.golden
+def test_sfs_regions(tmp_path):
+    """Per-region spectra (Intervals contains_point add vectors)."""
+    pref = str(tmp_path / "sfs_")
+    run_cli("genomics_general_tpu.cli.sfs",
+            ["-i", str(D / "sim1.geno.gz"), "--inputType", "genotypes",
+             "--genoFormat", "phased", "-p", "pop1", "-p", "pop2",
+             "--popsFile", str(D / "sim1.pops.txt"),
+             "--regions", "scaf1:1-400000", "scaf1:400001-900000",
+             "scaf2:1-500000",
+             "--pref", pref, "--suff", ".sfs"])
+    assert_text_equal(G / "sfs_reg_pop1.sfs", pref + "pop1.sfs")
+    assert_text_equal(G / "sfs_reg_pop2.sfs", pref + "pop2.sfs")
+
+
+@pytest.mark.golden
 def test_distmat_windows(tmp_path):
     out = tmp_path / "o.phy"
     wdata = tmp_path / "w.tsv"

@@ -54,13 +54,13 @@ def _clean_env(extra: dict) -> dict:
     return env
 
 
-def run_single_vs_two(tmp_path, extra_args: list[str],
-                      module: str = "genomics_general_tpu.cli.popgen_windows"):
-    """Run the CLI once single-process and once as 2 jax.distributed
-    processes; assert byte-identical output."""
+def _run_cli_dist(tmp_path, module: str, args_for):
+    """Run ``module`` once single-process and once as 2 jax.distributed
+    processes; assert byte-identical output.  ``args_for(out_path)`` builds
+    the full CLI argument list."""
     single = tmp_path / "single.csv"
     r = subprocess.run(
-        [sys.executable, "-m", module, *_base_args(str(single)), *extra_args],
+        [sys.executable, "-m", module, *args_for(str(single))],
         env=_clean_env({}), capture_output=True, timeout=600)
     assert r.returncode == 0, r.stderr.decode()[-2000:]
 
@@ -69,8 +69,7 @@ def run_single_vs_two(tmp_path, extra_args: list[str],
     procs = []
     for pid in range(2):
         procs.append(subprocess.Popen(
-            [sys.executable, "-m", module, *_base_args(str(dist)),
-             *extra_args],
+            [sys.executable, "-m", module, *args_for(str(dist))],
             env=_clean_env({
                 "GGT_COORDINATOR": f"127.0.0.1:{port}",
                 "GGT_NUM_PROCS": "2",
@@ -82,6 +81,12 @@ def run_single_vs_two(tmp_path, extra_args: list[str],
         assert p.returncode == 0, err.decode()[-2000:]
 
     assert dist.read_bytes() == single.read_bytes()
+
+
+def run_single_vs_two(tmp_path, extra_args: list[str],
+                      module: str = "genomics_general_tpu.cli.popgen_windows"):
+    _run_cli_dist(tmp_path, module,
+                  lambda out: [*_base_args(out), *extra_args])
 
 
 WINDOW = ["-w", "50000", "-s", "25000", "-m", "100", "--minData", "0.3"]
@@ -97,6 +102,67 @@ def test_two_process_popfreq_hapstats(tmp_path):
     the 2-process gather."""
     run_single_vs_two(tmp_path, [*WINDOW, "--analysis",
                                  "popFreq", "popDist", "hapStats"])
+
+
+def test_two_process_abba_windows(tmp_path):
+    """ABBA-BABA D/fd/fdM across the 2-process gather (fused device window
+    reduction + scaffold-sharded input)."""
+    _run_cli_dist(
+        tmp_path, "genomics_general_tpu.cli.abba_windows",
+        lambda out: ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
+                     "-w", "50000", "-s", "25000", "-m", "50",
+                     "--minData", "0.3",
+                     "-P1", "pop1", "-P2", "pop2", "-P3", "pop3",
+                     "-O", "pop4", "--popsFile", str(D / "sim1.pops.txt"),
+                     "--writeFailedWindows", "-o", out])
+
+
+def test_two_process_four_pop_windows(tmp_path):
+    """fourPopWindows full 12-stat panel across the 2-process gather."""
+    _run_cli_dist(
+        tmp_path, "genomics_general_tpu.cli.four_pop_windows",
+        lambda out: ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
+                     "-w", "50000", "-s", "50000", "-m", "50",
+                     "--minData", "0.3",
+                     "-P1", "pop1", "-P2", "pop2", "-P3", "pop3",
+                     "-O", "pop4", "--popsFile", str(D / "sim1.pops.txt"),
+                     "-o", out])
+
+
+def test_two_process_sfs_psum(tmp_path):
+    """Scaffold-sharded sfs: per-host dense spectra merged with device
+    collectives (sum counts / min first-occurrence keys); 2-process spectra
+    must be byte-identical to 1-process (including chain order)."""
+    def run(tag, extra_env):
+        pref = str(tmp_path / f"{tag}_")
+        base = [sys.executable, "-m", "genomics_general_tpu.cli.sfs",
+                "-i", str(D / "sim1.geno.gz"), "--inputType", "genotypes",
+                "--genoFormat", "phased", "-p", "pop1", "-p", "pop2",
+                "--popsFile", str(D / "sim1.pops.txt"), "--doPairs",
+                "--pref", pref, "--suff", ".sfs"]
+        if not extra_env:
+            r = subprocess.run(base, env=_clean_env({}), capture_output=True,
+                               timeout=600)
+            assert r.returncode == 0, r.stderr.decode()[-2000:]
+        else:
+            procs = [subprocess.Popen(base, env=_clean_env(e),
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE)
+                     for e in extra_env]
+            for p in procs:
+                _, err = p.communicate(timeout=600)
+                assert p.returncode == 0, err.decode()[-2000:]
+        return pref
+
+    single = run("single", None)
+    port = _free_port()
+    dist = run("dist", [{
+        "GGT_COORDINATOR": f"127.0.0.1:{port}",
+        "GGT_NUM_PROCS": "2", "GGT_PROC_ID": str(pid)} for pid in range(2)])
+    for g in ("pop1", "pop2", "pop1_pop2"):
+        a = Path(single + g + ".sfs").read_bytes()
+        b = Path(dist + g + ".sfs").read_bytes()
+        assert a == b, g
 
 
 def test_two_process_predefined_interleaved_ghost(tmp_path):
