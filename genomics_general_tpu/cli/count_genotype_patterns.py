@@ -57,11 +57,7 @@ def main(argv=None) -> int:
 
     sd = SampleData(ind_names=samples, ploidy={s: 2 for s in samples})
     reader = geno_io.rebind_reader(probe, sd)
-    data = reader.read_all()
-    alleles = data.alleles                      # [H, S]
-    if args.maxSites:
-        alleles = alleles[:, :args.maxSites]
-    model = data.model
+    model = reader.model
     # per-sample haplotype rows, in the requested sample order
     row_of = dict(zip(model.sample_names, model.sample_rows))
     rows = np.stack([row_of[s] for s in samples])          # [n_ind, 2]
@@ -79,37 +75,66 @@ def main(argv=None) -> int:
         "Trying to evaluate this many patterns will use too much memory."
     patterns = list(itertools.product(genotypes, repeat=n_samples))
 
-    S = alleles.shape[1]
-    a0 = alleles[rows[:, 0]]                    # [n_ind, S]
-    a1 = alleles[rows[:, 1]]
-    geno_missing = (a0 < 0) | (a1 < 0)          # any-N -> whole genotype missing
-
-    # allele counts per site over non-missing genotypes only
-    eff0 = np.where(geno_missing, -1, a0)
-    eff1 = np.where(geno_missing, -1, a1)
-    counts = np.zeros((S, 4), np.int64)
-    for arr in (eff0, eff1):
-        for b in range(4):
-            counts[:, b] += (arr == b).sum(axis=0)
-
-    # rank of each base per site, replicating the byFreq quicksort tie order
     from ..encoding import alleles_by_freq_ranks
-    rank = alleles_by_freq_ranks(counts)
 
-    # char codes: '0'..'3' by rank for present alleles; '.' for missing
-    code_chars = np.array([ord("0") + i for i in range(4)], np.uint8)
-    c0 = np.where(geno_missing, ord("."),
-                  code_chars[rank[np.arange(S)[None, :], np.maximum(a0, 0)]])
-    c1 = np.where(geno_missing, ord("."),
-                  code_chars[rank[np.arange(S)[None, :], np.maximum(a1, 0)]])
+    def chunk_keys(alleles: np.ndarray) -> np.ndarray:
+        """Vectorized per-site coded-pattern byte keys for one chunk."""
+        S = alleles.shape[1]
+        a0 = alleles[rows[:, 0]]                # [n_ind, S]
+        a1 = alleles[rows[:, 1]]
+        geno_missing = (a0 < 0) | (a1 < 0)      # any-N -> genotype missing
 
-    # pattern matrix [S, n_ind*2] -> bytes rows -> unique counts
-    pat = np.empty((S, n_samples * 2), np.uint8)
-    pat[:, 0::2] = c0.T
-    pat[:, 1::2] = c1.T
-    keys = pat.view([("k", f"S{n_samples * 2}")]).ravel()["k"]
-    uniq, cnt = np.unique(keys, return_counts=True)
-    tally = dict(zip((u.decode() for u in uniq), cnt))
+        # allele counts per site over non-missing genotypes only
+        eff0 = np.where(geno_missing, -1, a0)
+        eff1 = np.where(geno_missing, -1, a1)
+        counts = np.zeros((S, 4), np.int64)
+        for arr in (eff0, eff1):
+            for b in range(4):
+                counts[:, b] += (arr == b).sum(axis=0)
+
+        # rank of each base per site (byFreq quicksort tie order)
+        rank = alleles_by_freq_ranks(counts)
+        code_chars = np.array([ord("0") + i for i in range(4)], np.uint8)
+        c0 = np.where(geno_missing, ord("."),
+                      code_chars[rank[np.arange(S)[None, :],
+                                      np.maximum(a0, 0)]])
+        c1 = np.where(geno_missing, ord("."),
+                      code_chars[rank[np.arange(S)[None, :],
+                                      np.maximum(a1, 0)]])
+        pat = np.empty((S, n_samples * 2), np.uint8)
+        pat[:, 0::2] = c0.T
+        pat[:, 1::2] = c1.T
+        return pat.view([("k", f"S{n_samples * 2}")]).ravel()["k"]
+
+    # stream chunks; the tally is O(distinct patterns), not O(sites)
+    from .. import engine as _engine
+    tally: dict[str, int] = {}
+    sites_left = args.maxSites if args.maxSites else None
+    for chunk in _engine._prefetched(reader.iter_chunks()):
+        alleles = chunk.alleles
+        if sites_left is not None:
+            if sites_left <= 0:
+                break
+            alleles = alleles[:, :sites_left]
+            sites_left -= alleles.shape[1]
+        if alleles.shape[1] == 0:
+            continue
+        keys = chunk_keys(alleles)
+        if args.test:
+            # the reference's --test echoes each parsed site + its coded
+            # pattern to stderr (countGenotypePatterns.py:96-103; its
+            # scaffold/position echo crashes on a "positin" typo — we print
+            # the working equivalent, without the 50 ms/site sleep)
+            for s in range(keys.shape[0]):
+                k = keys[s].decode()
+                sys.stderr.write(
+                    f"{reader.scaffold_names[chunk.scaffold_ids[s]]},"
+                    f"{int(chunk.positions[s])},"
+                    f"{','.join(k[i:i + 2] for i in range(0, len(k), 2))}\n")
+        uniq, cnt = np.unique(keys, return_counts=True)
+        for u, c in zip(uniq, cnt):
+            key = u.decode()
+            tally[key] = tally.get(key, 0) + int(c)
 
     out = writers.open_out(args.outfile)
     out.write(",".join(samples) + ",count\n")

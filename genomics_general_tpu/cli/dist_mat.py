@@ -19,6 +19,7 @@ import sys
 
 import numpy as np
 
+from .. import engine
 from .. import windows as W
 from ..io import geno as geno_io
 from ..io import writers
@@ -93,30 +94,9 @@ def main(argv=None) -> int:
     reader = geno_io.GenoReader(args.genoFile if args.genoFile else sys.stdin,
                                 sample_data=sd, geno_format=args.genoFormat,
                                 header=header)
-    data = reader.read_all()
-    keep = W.filter_scaffolds(data.scaffold_ids, data.scaffold_names,
-                              include=common.read_scaffold_list(args.include),
-                              exclude=common.read_scaffold_list(args.exclude))
-    if not keep.all():
-        data.alleles = data.alleles[:, keep]
-        data.positions = data.positions[keep]
-        data.scaffold_ids = data.scaffold_ids[keep]
-
-    plan = common.build_plan(wind, data.scaffold_ids, data.positions,
-                             data.scaffold_names)
-    model = data.model
-    sites = plan.n_sites
-    mid = plan.mid(data.positions)
+    model = reader.model
     n_ind = len(samples)
-
-    from ..kernels.transfer import device_alleles
-    alleles_dev = device_alleles(data.alleles)
-    if wind["windType"] == "cat":
-        m0, s0 = pair_k.long_span_pair_counts(alleles_dev, 0, data.n_sites)
-        mism, shar = m0[None], s0[None]
-    else:
-        mism, shar = pair_k.window_pair_counts(
-            alleles_dev, plan.first.astype(np.int32), sites.astype(np.int32))
+    progress = engine.Progress(args.verbose)
 
     outs = {}
     outs["main"] = writers.open_out(args.outFile)
@@ -127,16 +107,16 @@ def main(argv=None) -> int:
         else:
             outs["windows"].write("windowID,scaffold,start,end,mid,sites,")
 
-    # per-individual non-missing counts (for --minPerInd; distMat.py:40)
-    seq_non_nan = (data.alleles >= 0)
-
-    for w in range(plan.n_windows):
+    def emit(plan, mism, shar, batch, w, mid):
+        """Write one window's matrix (+ optional window metadata row)."""
+        sites = plan.n_sites
         is_good = bool(sites[w] >= min_sites)
-        dist_out = np.empty((n_ind, n_ind))
-        dist_out.fill(np.nan)
+        dist_out = np.full((n_ind, n_ind), np.nan)
         if is_good:
             f, l = int(plan.first[w]), int(plan.last[w])
-            if args.minPerInd and int(seq_non_nan[:, f:l].sum(axis=1).min()) < args.minPerInd:
+            if args.minPerInd and int(
+                    (batch_alleles(batch)[:, f:l] >= 0)
+                    .sum(axis=1).min()) < args.minPerInd:
                 is_good = False
             else:
                 ctx = popgen.DistStatsContext(mism[w:w + 1], shar[w:w + 1])
@@ -148,26 +128,87 @@ def main(argv=None) -> int:
                         v = pd[samples[i]][samples[j]][0]
                         dist_out[i, j] = dist_out[j, i] = v
         if not is_good:
-            dist_out = np.empty((n_ind, n_ind))
-            dist_out.fill(np.nan)
-        if is_good or args.writeFailedWindows:
-            if args.outFormat == "nexus":
-                s_ = writers.dist_mat_nexus_string(dist_out, samples, args.roundTo)
-            elif args.outFormat == "phylip":
-                s_ = writers.dist_mat_phylip_string(dist_out, samples, args.roundTo)
-            else:
-                s_ = writers.dist_mat_string(dist_out, args.roundTo) + "\n"
-            outs["main"].write(s_)
-            if "windows" in outs:
-                row = [] if not args.addWindowID else [plan.ids[w]]
-                row += [data.scaffold_names[plan.scaffold_id[w]]
-                        if plan.scaffold_id[w] >= 0 else "None",
-                        int(plan.start[w]), int(plan.end[w]),
-                        writers.fmt_int_or_nan(mid[w]), int(sites[w])]
-                outs["windows"].write("\t".join(str(x) for x in row) + "\n")
+            dist_out = np.full((n_ind, n_ind), np.nan)
+        if not (is_good or args.writeFailedWindows):
+            return 0
+        if args.outFormat == "nexus":
+            s_ = writers.dist_mat_nexus_string(dist_out, samples, args.roundTo)
+        elif args.outFormat == "phylip":
+            s_ = writers.dist_mat_phylip_string(dist_out, samples, args.roundTo)
+        else:
+            s_ = writers.dist_mat_string(dist_out, args.roundTo) + "\n"
+        outs["main"].write(s_)
+        if "windows" in outs:
+            row = [] if not args.addWindowID else [plan.ids[w]]
+            row += [scaffold_name(batch, plan, w),
+                    int(plan.start[w]), int(plan.end[w]),
+                    writers.fmt_int_or_nan(mid[w]), int(sites[w])]
+            outs["windows"].write("\t".join(str(x) for x in row) + "\n")
+        return 1
+
+    def batch_alleles(batch):
+        return batch.alleles
+
+    def scaffold_name(batch, plan, w):
+        return batch.scaffold_names[plan.scaffold_id[w]] \
+            if plan.scaffold_id[w] >= 0 else "None"
+
+    if wind["windType"] == "cat":
+        # cat: the reference reads everything into RAM (distMat.py:316-319,
+        # README.md:214 RAM warning); here only the numeric matrix is ever
+        # resident and the pair counts accumulate on device
+        data = reader.read_all()
+        keep = W.filter_scaffolds(
+            data.scaffold_ids, data.scaffold_names,
+            include=common.read_scaffold_list(args.include),
+            exclude=common.read_scaffold_list(args.exclude))
+        if not keep.all():
+            data.alleles = data.alleles[:, keep]
+            data.positions = data.positions[keep]
+            data.scaffold_ids = data.scaffold_ids[keep]
+        plan = common.build_plan(wind, data.scaffold_ids, data.positions,
+                                 data.scaffold_names)
+        m0, s0 = pair_k.long_span_pair_counts(data.alleles, 0, data.n_sites)
+        mism, shar = m0[None].astype(np.int32), s0[None].astype(np.int32)
+
+        class _CatBatch:
+            alleles = data.alleles
+            scaffold_names = data.scaffold_names
+        emit(plan, mism, shar, _CatBatch, 0, plan.mid(data.positions))
+    else:
+        # windowed: stream flush batches (O(flush) memory, like popgen)
+        in_flight = None
+
+        def finalize(batch, handle):
+            plan = batch.plan
+            mism, shar = handle.collect()
+            mid = plan.mid(batch.positions)
+            rows = 0
+            for w in range(plan.n_windows):
+                rows += emit(plan, mism, shar, batch, w, mid)
+            progress.update(rows=rows)
+
+        for batch in engine.stream_windows(
+                reader, wind,
+                include=common.read_scaffold_list(args.include),
+                exclude=common.read_scaffold_list(args.exclude),
+                progress=progress):
+            if batch.plan.n_windows == 0:
+                continue
+            handle = pair_k.window_pair_counts_dispatch(
+                batch.alleles[:, :batch.needed_end],
+                batch.plan.first.astype(np.int32),
+                batch.plan.n_sites.astype(np.int32))
+            if in_flight is not None:
+                finalize(*in_flight)
+            in_flight = (batch, handle)
+        if in_flight is not None:
+            finalize(*in_flight)
+
     for o in outs.values():
         if o is not sys.stdout:
             o.close()
+    progress.close()
     return 0
 
 

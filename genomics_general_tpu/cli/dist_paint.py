@@ -22,7 +22,7 @@ import sys
 import numpy as np
 from scipy.stats import ranksums
 
-from .. import windows as W
+from .. import engine
 from ..io import geno as geno_io
 from ..io import writers
 from ..kernels import pairdist as pair_k
@@ -106,19 +106,6 @@ def main(argv=None) -> int:
     sd = SampleData(ind_names=all_inds, ploidy={s: 1 for s in all_inds})
     reader = geno_io.GenoReader(args.genoFile, sample_data=sd,
                                 geno_format="haplo", header=args.header)
-    data = reader.read_all()
-    keep = W.filter_scaffolds(data.scaffold_ids, data.scaffold_names,
-                              include=common.read_scaffold_list(args.include),
-                              exclude=common.read_scaffold_list(args.exclude))
-    if not keep.all():
-        data.alleles = data.alleles[:, keep]
-        data.positions = data.positions[keep]
-        data.scaffold_ids = data.scaffold_ids[keep]
-
-    plan = common.build_plan(wind, data.scaffold_ids, data.positions,
-                             data.scaffold_names)
-    sites = plan.n_sites
-    mid = plan.mid(data.positions)
 
     out = writers.open_out(args.outFile)
     head = ["scaffold", "start", "end", "mid", "sites"]
@@ -127,46 +114,67 @@ def main(argv=None) -> int:
     out.write("\t".join(head) + "\t")
     out.write("\t".join(all_inds) + "\n")
 
-    from ..kernels.transfer import device_alleles
-    alleles_dev = device_alleles(data.alleles)
-    mism, shar = pair_k.window_pair_counts(
-        alleles_dev, plan.first.astype(np.int32), sites.astype(np.int32))
-    mism = np.asarray(mism)
-    shar = np.asarray(shar)
-
     n_ind = len(all_inds)
-    for w in range(plan.n_windows):
-        is_good = bool(sites[w] >= min_sites)
-        if is_good:
-            with np.errstate(invalid="ignore", divide="ignore"):
-                dist = mism[w] / shar[w]
-            best_match = []
-            for i in range(n_ind):
-                all_pop_dists = []
-                for pop in pop_names:
-                    pop_dists = [dist[i, j] if shar[w][i, j] >= min_sites
-                                 else np.nan
-                                 for j in ref_pop_indices[pop]]
-                    all_pop_dists.append(pop_dists)
-                if args.delta_threshold is not None:
-                    best_match.append(which_lowest_delta(
-                        all_pop_dists, args.delta_threshold, args.noresult))
-                else:
-                    best_match.append(which_lowest_test(
-                        all_pop_dists, args.p_threshold, args.noresult))
-        else:
-            best_match = [np.nan] * n_ind
-        if is_good or args.writeFailedWindows:
-            if wind["windType"] in ("coordinate", "predefined"):
-                start, end = int(plan.start[w]), int(plan.end[w])
+
+    def finalize(batch, handle):
+        plan = batch.plan
+        sites = plan.n_sites
+        mid = plan.mid(batch.positions)
+        mism, shar = handle.collect()
+        for w in range(plan.n_windows):
+            is_good = bool(sites[w] >= min_sites)
+            if is_good:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    dist = mism[w] / shar[w]
+                best_match = []
+                for i in range(n_ind):
+                    all_pop_dists = []
+                    for pop in pop_names:
+                        pop_dists = [dist[i, j] if shar[w][i, j] >= min_sites
+                                     else np.nan
+                                     for j in ref_pop_indices[pop]]
+                        all_pop_dists.append(pop_dists)
+                    if args.delta_threshold is not None:
+                        best_match.append(which_lowest_delta(
+                            all_pop_dists, args.delta_threshold, args.noresult))
+                    else:
+                        best_match.append(which_lowest_test(
+                            all_pop_dists, args.p_threshold, args.noresult))
             else:
-                f, l = int(plan.first[w]), int(plan.last[w])
-                start, end = int(data.positions[f]), int(data.positions[l - 1])
-            row = [] if not args.addWindowID else [plan.ids[w]]
-            row += [data.scaffold_names[int(plan.scaffold_id[w])], start, end,
-                    writers.fmt_int_or_nan(mid[w]), int(sites[w])]
-            row += best_match
-            out.write("\t".join(str(x) for x in row) + "\n")
+                best_match = [np.nan] * n_ind
+            if is_good or args.writeFailedWindows:
+                if wind["windType"] in ("coordinate", "predefined"):
+                    start, end = int(plan.start[w]), int(plan.end[w])
+                else:
+                    f, l = int(plan.first[w]), int(plan.last[w])
+                    start = int(batch.positions[f])
+                    end = int(batch.positions[l - 1])
+                row = [] if not args.addWindowID else [plan.ids[w]]
+                row += [batch.scaffold_names[int(plan.scaffold_id[w])],
+                        start, end,
+                        writers.fmt_int_or_nan(mid[w]), int(sites[w])]
+                row += best_match
+                out.write("\t".join(str(x) for x in row) + "\n")
+
+    # stream flush batches (O(flush) memory; the old path materialized the
+    # genome like the reference's whole-file read, distPaint.py)
+    in_flight = None
+    for batch in engine.stream_windows(
+            reader, wind,
+            include=common.read_scaffold_list(args.include),
+            exclude=common.read_scaffold_list(args.exclude)):
+        if batch.plan.n_windows == 0:
+            continue
+        handle = pair_k.window_pair_counts_dispatch(
+            batch.alleles[:, :batch.needed_end],
+            batch.plan.first.astype(np.int32),
+            batch.plan.n_sites.astype(np.int32))
+        if in_flight is not None:
+            finalize(*in_flight)
+        in_flight = (batch, handle)
+    if in_flight is not None:
+        finalize(*in_flight)
+
     if out is not sys.stdout:
         out.close()
     return 0

@@ -39,31 +39,63 @@ def main(argv=None) -> int:
     ploidy = 1 if fmt == "haplo" else 2
     sd = SampleData(ind_names=names, ploidy={n: ploidy for n in names})
     reader = geno_io.rebind_reader(probe, sd)
-    data = reader.read_all()
-    sys.stderr.write(f"{len(data.scaffold_names)} scaffolds read into memory\n")
-
-    alleles = data.alleles                      # [H, S] int8
-    model = data.model
+    model = reader.model
     row_of = dict(zip(model.sample_names, model.sample_rows))
     chars = np.array(["A", "C", "G", "T"])
     prefix = args.prefix if args.prefix else args.genoFile.rsplit(".", 1)[0]
 
-    sys.stderr.write("Writing PED file...\n")
-    with open(prefix + ".ped", "wt") as out_ped:
-        for name in names:
-            rows = row_of[name]
-            # interleave haplotypes per site: hap1[s], hap2[s], hap1[s+1]...
-            block = alleles[rows]               # [ploidy, S]
-            inter = block.T.ravel()             # site-major
-            seq = np.where(inter >= 0, chars[np.maximum(inter, 0)], "N")
-            out_ped.write(" ".join(["0", name, "0 0 0 0 "]))
-            out_ped.write(" ".join(seq) + "\n")
-
-    sys.stderr.write("Writing MAP file...\n")
-    with open(prefix + ".map", "wt") as out_map:
-        for sid, pos in zip(data.scaffold_ids, data.positions):
-            scaf = data.scaffold_names[int(sid)]
-            out_map.write(f"{scaf} {pos} 0 {pos}\n")
+    # PED rows are individual-major (every site per line), so a single pass
+    # over the site-major stream spills each individual's interleaved
+    # haplotype codes to a temp file (O(chunk) RAM; the reference instead
+    # reads whole scaffolds into memory, genoToPlink.py:37-40); the .map
+    # rows stream out directly.
+    import os
+    import tempfile
+    from .. import engine as _engine
+    tmpdir = tempfile.mkdtemp(prefix="ggt_plink_")
+    spool = {name: open(os.path.join(tmpdir, f"{i}.bin"), "wb")
+             for i, name in enumerate(names)}
+    try:
+        with open(prefix + ".map", "wt") as out_map:
+            for chunk in _engine._prefetched(reader.iter_chunks()):
+                for name in names:
+                    block = chunk.alleles[row_of[name]]     # [ploidy, s]
+                    spool[name].write(block.T.ravel().tobytes())
+                for sid, pos in zip(chunk.scaffold_ids, chunk.positions):
+                    scaf = reader.scaffold_names[int(sid)]
+                    out_map.write(f"{scaf} {pos} 0 {pos}\n")
+        for f in spool.values():
+            f.close()
+        sys.stderr.write(
+            f"{len(reader.scaffold_names)} scaffolds read\n")
+        sys.stderr.write("Writing PED file...\n")
+        with open(prefix + ".ped", "wt") as out_ped:
+            for i, name in enumerate(names):
+                out_ped.write(" ".join(["0", name, "0 0 0 0 "]))
+                with open(os.path.join(tmpdir, f"{i}.bin"), "rb") as f:
+                    first = True
+                    while True:
+                        blk = f.read(4 << 20)
+                        if not blk:
+                            break
+                        inter = np.frombuffer(blk, dtype=np.int8)
+                        seq = np.where(inter >= 0,
+                                       chars[np.maximum(inter, 0)], "N")
+                        if not first:
+                            out_ped.write(" ")
+                        out_ped.write(" ".join(seq))
+                        first = False
+                out_ped.write("\n")
+    finally:
+        for i in range(len(names)):
+            try:
+                os.remove(os.path.join(tmpdir, f"{i}.bin"))
+            except OSError:
+                pass
+        try:
+            os.rmdir(tmpdir)
+        except OSError:
+            pass
 
     if args.makeFAM:
         sys.stderr.write("Writing FAM file...\n")

@@ -214,18 +214,7 @@ def main(argv=None) -> int:
     names = ind_names if ind_names else list(probe.file_ind_names)
     sd = SampleData(ind_names=names, ploidy={n: 2 for n in names})
     reader = geno_io.rebind_reader(probe, sd)
-    data = reader.read_all()
-    from .. import windows as W
-    keep = W.filter_scaffolds(data.scaffold_ids, data.scaffold_names,
-                              include=include, exclude=exclude)
-    if not keep.all():
-        data.alleles = data.alleles[:, keep]
-        data.positions = data.positions[keep]
-        data.scaffold_ids = data.scaffold_ids[keep]
-    plan = common.build_plan(wind, data.scaffold_ids, data.positions,
-                             data.scaffold_names)
-    mids = plan.mid(data.positions)
-    model = data.model
+    model = reader.model
     hap_names = model.row_names
     row_samples = model.row_sample       # individual name per haplotype row
     non_out_rows = np.array([i for i, s in enumerate(row_samples)
@@ -247,73 +236,87 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(args.seed)
 
     windows_done = 0
-    for w in range(plan.n_windows):
-        f, l = int(plan.first[w]), int(plan.last[w])
-        n_sites = l - f
-        scaf = data.scaffold_names[int(plan.scaffold_id[w])]
-        if wind["windType"] in ("coordinate", "predefined"):
-            start, end = int(plan.start[w]), int(plan.end[w])
-        else:
-            start, end = int(data.positions[f]), int(data.positions[l - 1])
-        mid = "nan" if np.isnan(mids[w]) else str(int(mids[w]))
-        prefix = f"{scaf}_{start}_{end}_"
-        trees = ["NA"] * (1 + args.bootstraps)
-        lnl = cvlnl = "NA"
-        if n_sites >= min_sites:
-            aln = data.alleles[:, f:l]
-            sites_per_ind = (aln >= 0).sum(axis=1)
-            n_snps = None
-            if args.minSNPs is not None:
-                sub = aln[non_out_rows]
-                var = 0
-                for s in range(n_sites):
-                    col = sub[:, s]
-                    col = col[col >= 0]
-                    if col.size and (col != col[0]).any():
-                        var += 1
-                n_snps = var
-            if sites_per_ind.min() >= min_per_ind and \
-                    (n_snps is None or n_snps >= args.minSNPs):
-                if args.maxLDphase:
-                    aln = max_ld_phase(aln, row_samples)
-                if use_builtin:
-                    trees[0] = nj_window_tree(aln, hap_names,
-                                              correct=args.njCorrect)
-                    for b in range(args.bootstraps):
-                        cols = rng.integers(0, n_sites, n_sites)
-                        trees[1 + b] = nj_window_tree(aln[:, cols],
-                                                      hap_names,
-                                                      correct=args.njCorrect)
-                else:
-                    seqs = codes_to_rows(aln)
-                    trees[0], lnl = phyml_tree(
-                        seqs, hap_names, args.model, args.optimise,
-                        args.phyml, prefix, tmp_dir=tmp_dir, test=args.test,
-                        log=args.log)
-                    for b in range(args.bootstraps):
-                        cols = rng.integers(0, n_sites, n_sites)
-                        trees[1 + b], _ = phyml_tree(
-                            codes_to_rows(aln[:, cols]), hap_names,
-                            args.model, args.optimise, args.phyml,
-                            prefix + str(b) + "_", tmp_dir=tmp_dir,
-                            test=args.test, log=args.log)
-                    if args.crossVal:
-                        half = int(round(n_sites / 2))
-                        cvlnl = phyml_cross_val(
-                            codes_to_rows(aln[:, :half]),
-                            codes_to_rows(aln[:, half:]), hap_names,
-                            args.model, args.optimise, args.phyml, prefix,
-                            tmp_dir=tmp_dir, test=args.test, log=args.log)
-        row = [scaf, str(start), str(end), mid, str(n_sites), str(lnl)]
-        if args.crossVal:
-            row.append(str(cvlnl))
-        data_file.write("\t".join(row) + "\n")
-        trees_file.write(trees[0] + "\n")
-        for b, bf in enumerate(bs_files):
-            bf.write(trees[1 + b] + "\n")
-        windows_done += 1
-        if args.test and windows_done == 10:
+    stop = False
+    # stream flush batches: O(flush) memory with subprocess work per window
+    # (the reference streams windows with queue backpressure,
+    # phyml_sliding_windows.py:414-417; here the flush batch IS the bound)
+    from .. import engine
+    for batch in engine.stream_windows(reader, wind, include=include,
+                                       exclude=exclude):
+        if stop:
             break
+        plan = batch.plan
+        mids = plan.mid(batch.positions)
+        for w in range(plan.n_windows):
+            f, l = int(plan.first[w]), int(plan.last[w])
+            n_sites = l - f
+            scaf = batch.scaffold_names[int(plan.scaffold_id[w])]
+            if wind["windType"] in ("coordinate", "predefined"):
+                start, end = int(plan.start[w]), int(plan.end[w])
+            else:
+                start = int(batch.positions[f])
+                end = int(batch.positions[l - 1])
+            mid = "nan" if np.isnan(mids[w]) else str(int(mids[w]))
+            prefix = f"{scaf}_{start}_{end}_"
+            trees = ["NA"] * (1 + args.bootstraps)
+            lnl = cvlnl = "NA"
+            if n_sites >= min_sites:
+                aln = batch.alleles[:, f:l]
+                sites_per_ind = (aln >= 0).sum(axis=1)
+                n_snps = None
+                if args.minSNPs is not None:
+                    sub = aln[non_out_rows]
+                    var = 0
+                    for s in range(n_sites):
+                        col = sub[:, s]
+                        col = col[col >= 0]
+                        if col.size and (col != col[0]).any():
+                            var += 1
+                    n_snps = var
+                if sites_per_ind.min() >= min_per_ind and \
+                        (n_snps is None or n_snps >= args.minSNPs):
+                    if args.maxLDphase:
+                        aln = max_ld_phase(aln, row_samples)
+                    if use_builtin:
+                        trees[0] = nj_window_tree(aln, hap_names,
+                                                  correct=args.njCorrect)
+                        for b in range(args.bootstraps):
+                            cols = rng.integers(0, n_sites, n_sites)
+                            trees[1 + b] = nj_window_tree(
+                                aln[:, cols], hap_names,
+                                correct=args.njCorrect)
+                    else:
+                        seqs = codes_to_rows(aln)
+                        trees[0], lnl = phyml_tree(
+                            seqs, hap_names, args.model, args.optimise,
+                            args.phyml, prefix, tmp_dir=tmp_dir,
+                            test=args.test, log=args.log)
+                        for b in range(args.bootstraps):
+                            cols = rng.integers(0, n_sites, n_sites)
+                            trees[1 + b], _ = phyml_tree(
+                                codes_to_rows(aln[:, cols]), hap_names,
+                                args.model, args.optimise, args.phyml,
+                                prefix + str(b) + "_", tmp_dir=tmp_dir,
+                                test=args.test, log=args.log)
+                        if args.crossVal:
+                            half = int(round(n_sites / 2))
+                            cvlnl = phyml_cross_val(
+                                codes_to_rows(aln[:, :half]),
+                                codes_to_rows(aln[:, half:]), hap_names,
+                                args.model, args.optimise, args.phyml,
+                                prefix, tmp_dir=tmp_dir, test=args.test,
+                                log=args.log)
+            row = [scaf, str(start), str(end), mid, str(n_sites), str(lnl)]
+            if args.crossVal:
+                row.append(str(cvlnl))
+            data_file.write("\t".join(row) + "\n")
+            trees_file.write(trees[0] + "\n")
+            for b, bf in enumerate(bs_files):
+                bf.write(trees[1 + b] + "\n")
+            windows_done += 1
+            if args.test and windows_done == 10:
+                stop = True
+                break
 
     data_file.close()
     trees_file.close()

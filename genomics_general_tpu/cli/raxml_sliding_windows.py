@@ -102,20 +102,7 @@ def main(argv=None) -> int:
         else list(probe.file_ind_names)
     sd = SampleData(ind_names=names, ploidy={n: 2 for n in names})
     reader = geno_io.rebind_reader(probe, sd)
-    data = reader.read_all()
-    from .. import windows as W
-    keep = W.filter_scaffolds(
-        data.scaffold_ids, data.scaffold_names,
-        include=common.read_scaffold_list(args.include),
-        exclude=common.read_scaffold_list(args.exclude))
-    if not keep.all():
-        data.alleles = data.alleles[:, keep]
-        data.positions = data.positions[keep]
-        data.scaffold_ids = data.scaffold_ids[keep]
-    plan = common.build_plan(wind, data.scaffold_ids, data.positions,
-                             data.scaffold_names)
-    mids = plan.mid(data.positions)
-    model = data.model
+    model = reader.model
     hap_names = model.row_names
     non_out_rows = np.array([i for i, s in enumerate(model.row_sample)
                              if s not in outgroup], dtype=np.int64)
@@ -127,43 +114,52 @@ def main(argv=None) -> int:
     use_builtin = args.raxml == "builtin-nj"
     tmp_dir = args.tmp or "."
 
-    for w in range(plan.n_windows):
-        f, l = int(plan.first[w]), int(plan.last[w])
-        n_sites = l - f
-        scaf = data.scaffold_names[int(plan.scaffold_id[w])]
-        if wind["windType"] == "coordinate":
-            start, end = int(plan.start[w]), int(plan.end[w])
-        else:
-            start, end = int(data.positions[f]), int(data.positions[l - 1])
-        mid = "nan" if np.isnan(mids[w]) else str(int(mids[w]))
-        tree = "NA\n"
-        if n_sites >= min_sites:
-            aln = data.alleles[:, f:l]
-            sites_per_ind = (aln >= 0).sum(axis=1)
-            ok = sites_per_ind.min() >= min_per_ind
-            if ok and args.minSNPs is not None:
-                sub = aln[non_out_rows]
-                var = 0
-                for s in range(n_sites):
-                    col = sub[:, s]
-                    col = col[col >= 0]
-                    if col.size and (col != col[0]).any():
-                        var += 1
-                ok = var >= args.minSNPs
-            if ok:
-                if use_builtin:
-                    tree = nj_window_tree(aln, hap_names,
-                                          correct=args.njCorrect) + "\n"
-                else:
-                    prefix = f"{scaf}_{start}_{end}_"
-                    tree = rax_tree(codes_to_rows(aln), hap_names,
-                                    args.model, args.raxml,
-                                    outgroup or None, prefix,
-                                    tmp_dir=tmp_dir, test=args.test,
-                                    log=args.log)
-        data_file.write("\t".join([scaf, str(start), str(end), mid,
-                                   str(n_sites)]) + "\n")
-        trees_file.write(tree if tree.endswith("\n") else tree + "\n")
+    # stream flush batches (O(flush) memory; subprocess work per window)
+    from .. import engine
+    for batch in engine.stream_windows(
+            reader, wind,
+            include=common.read_scaffold_list(args.include),
+            exclude=common.read_scaffold_list(args.exclude)):
+        plan = batch.plan
+        mids = plan.mid(batch.positions)
+        for w in range(plan.n_windows):
+            f, l = int(plan.first[w]), int(plan.last[w])
+            n_sites = l - f
+            scaf = batch.scaffold_names[int(plan.scaffold_id[w])]
+            if wind["windType"] == "coordinate":
+                start, end = int(plan.start[w]), int(plan.end[w])
+            else:
+                start = int(batch.positions[f])
+                end = int(batch.positions[l - 1])
+            mid = "nan" if np.isnan(mids[w]) else str(int(mids[w]))
+            tree = "NA\n"
+            if n_sites >= min_sites:
+                aln = batch.alleles[:, f:l]
+                sites_per_ind = (aln >= 0).sum(axis=1)
+                ok = sites_per_ind.min() >= min_per_ind
+                if ok and args.minSNPs is not None:
+                    sub = aln[non_out_rows]
+                    var = 0
+                    for s in range(n_sites):
+                        col = sub[:, s]
+                        col = col[col >= 0]
+                        if col.size and (col != col[0]).any():
+                            var += 1
+                    ok = var >= args.minSNPs
+                if ok:
+                    if use_builtin:
+                        tree = nj_window_tree(aln, hap_names,
+                                              correct=args.njCorrect) + "\n"
+                    else:
+                        prefix = f"{scaf}_{start}_{end}_"
+                        tree = rax_tree(codes_to_rows(aln), hap_names,
+                                        args.model, args.raxml,
+                                        outgroup or None, prefix,
+                                        tmp_dir=tmp_dir, test=args.test,
+                                        log=args.log)
+            data_file.write("\t".join([scaf, str(start), str(end), mid,
+                                       str(n_sites)]) + "\n")
+            trees_file.write(tree if tree.endswith("\n") else tree + "\n")
 
     data_file.close()
     trees_file.close()

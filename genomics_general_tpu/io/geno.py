@@ -165,7 +165,12 @@ class GenoReader:
 
     def __init__(self, fileobj, sample_data: SampleData | None = None,
                  geno_format: str = "phased", header: str | None = None,
-                 chunk_bytes: int = 16 << 20):
+                 chunk_bytes: int | None = None):
+        if chunk_bytes is None:
+            # GGT_CHUNK_BYTES: test hook to force tiny streaming chunks
+            # (bounded-memory regression tests drive every CLI through many
+            # chunk boundaries and assert unchanged output)
+            chunk_bytes = int(os.environ.get("GGT_CHUNK_BYTES", 16 << 20))
         self._whole: np.ndarray | None = None
         self._gz_stream = None           # hybrid-start zlib streamer
         self._gz_thread = None

@@ -275,7 +275,12 @@ def window_abba_sums_dispatch(alleles: np.ndarray, first: np.ndarray,
     while s_max < s_need:
         s_max *= 2
     s_max = min(s_max, Sp)
+    # chunk must DIVIDE wp (the kernel reshapes [wp] -> [wp//chunk, chunk]);
+    # wp is n_dev * 2^k, so for non-power-of-two device counts step down
+    # until it divides (e.g. n_dev=12, wp=192 -> chunk 64, not 128)
     chunk = min(wp, 128)
+    while chunk > 1 and wp % chunk:
+        chunk //= 2
     while chunk > 8 and chunk * s_max > (1 << 24):
         chunk //= 2
     fn = _sharded_fused_abba_flush(mesh) if mesh is not None \
