@@ -35,7 +35,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 CACHE = REPO / ".bench_cache"
-BENCH_SITES = int(os.environ.get("BENCH_SITES", 6_000_000))
+BENCH_SITES = int(os.environ.get("BENCH_SITES", 2_000_000))
 REF_SITES = int(os.environ.get("BENCH_REF_SITES", 40_000))
 REF_PATH = os.environ.get("BENCH_REF", "/root/reference")
 N_RUNS = int(os.environ.get("BENCH_RUNS", 3))

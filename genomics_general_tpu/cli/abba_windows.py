@@ -224,22 +224,15 @@ def main(argv=None, full_panel: bool = False) -> int:
                 out.flush()
                 cursor.save(batch.window_offset + n_w, out.tell())
 
-    in_flight = None
-    for batch in engine.stream_windows(
+    engine.run_pipeline(
+        engine.stream_windows(
             reader, wind,
             include=common.read_scaffold_list(args.include),
             exclude=common.read_scaffold_list(args.exclude),
-            progress=progress, timer=timer, scaffold_pred=shard_pred):
-        if batch.plan.n_windows == 0:
-            continue
-        if batch.window_offset + batch.plan.n_windows <= skip_windows:
-            continue
-        cur = dispatch(batch)
-        if in_flight is not None:
-            finalize(*in_flight)
-        in_flight = cur
-    if in_flight is not None:
-        finalize(*in_flight)
+            progress=progress, timer=timer, scaffold_pred=shard_pred),
+        dispatch, finalize,
+        skip=lambda b: (b.plan.n_windows == 0
+                        or b.window_offset + b.plan.n_windows <= skip_windows))
 
     if mh_writer is not None:
         out = writers.open_out(args.outFile) \

@@ -177,7 +177,12 @@ def main(argv=None) -> int:
         emit(plan, mism, shar, _CatBatch, 0, plan.mid(data.positions))
     else:
         # windowed: stream flush batches (O(flush) memory, like popgen)
-        in_flight = None
+        def dispatch(batch):
+            handle = pair_k.window_pair_counts_dispatch(
+                batch.alleles[:, :batch.needed_end],
+                batch.plan.first.astype(np.int32),
+                batch.plan.n_sites.astype(np.int32))
+            return batch, handle
 
         def finalize(batch, handle):
             plan = batch.plan
@@ -188,22 +193,14 @@ def main(argv=None) -> int:
                 rows += emit(plan, mism, shar, batch, w, mid)
             progress.update(rows=rows)
 
-        for batch in engine.stream_windows(
+        engine.run_pipeline(
+            engine.stream_windows(
                 reader, wind,
                 include=common.read_scaffold_list(args.include),
                 exclude=common.read_scaffold_list(args.exclude),
-                progress=progress):
-            if batch.plan.n_windows == 0:
-                continue
-            handle = pair_k.window_pair_counts_dispatch(
-                batch.alleles[:, :batch.needed_end],
-                batch.plan.first.astype(np.int32),
-                batch.plan.n_sites.astype(np.int32))
-            if in_flight is not None:
-                finalize(*in_flight)
-            in_flight = (batch, handle)
-        if in_flight is not None:
-            finalize(*in_flight)
+                progress=progress),
+            dispatch, finalize,
+            skip=lambda b: b.plan.n_windows == 0)
 
     for o in outs.values():
         if o is not sys.stdout:

@@ -158,22 +158,20 @@ def main(argv=None) -> int:
 
     # stream flush batches (O(flush) memory; the old path materialized the
     # genome like the reference's whole-file read, distPaint.py)
-    in_flight = None
-    for batch in engine.stream_windows(
-            reader, wind,
-            include=common.read_scaffold_list(args.include),
-            exclude=common.read_scaffold_list(args.exclude)):
-        if batch.plan.n_windows == 0:
-            continue
+    def dispatch(batch):
         handle = pair_k.window_pair_counts_dispatch(
             batch.alleles[:, :batch.needed_end],
             batch.plan.first.astype(np.int32),
             batch.plan.n_sites.astype(np.int32))
-        if in_flight is not None:
-            finalize(*in_flight)
-        in_flight = (batch, handle)
-    if in_flight is not None:
-        finalize(*in_flight)
+        return batch, handle
+
+    engine.run_pipeline(
+        engine.stream_windows(
+            reader, wind,
+            include=common.read_scaffold_list(args.include),
+            exclude=common.read_scaffold_list(args.exclude)),
+        dispatch, finalize,
+        skip=lambda b: b.plan.n_windows == 0)
 
     if out is not sys.stdout:
         out.close()

@@ -313,22 +313,16 @@ def main(argv=None) -> int:
                 out.flush()
                 cursor.save(batch.window_offset + plan.n_windows, out.tell())
 
-    in_flight = None
-    for batch in engine.stream_windows(
+    engine.run_pipeline(
+        engine.stream_windows(
             reader, wind,
             include=common.read_scaffold_list(args.include),
             exclude=common.read_scaffold_list(args.exclude),
-            progress=progress, timer=timer, scaffold_pred=shard_pred):
-        if batch.plan.n_windows == 0:
-            continue
-        if batch.window_offset + batch.plan.n_windows <= skip_windows:
-            continue                     # resume: batch fully written already
-        cur = dispatch(batch)
-        if in_flight is not None:
-            finalize(*in_flight)
-        in_flight = cur
-    if in_flight is not None:
-        finalize(*in_flight)
+            progress=progress, timer=timer, scaffold_pred=shard_pred),
+        dispatch, finalize,
+        # resume: skip batches already fully written
+        skip=lambda b: (b.plan.n_windows == 0
+                        or b.window_offset + b.plan.n_windows <= skip_windows))
 
     if mh_writer is not None:
         out = writers.open_out(args.outFile) \

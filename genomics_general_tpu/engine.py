@@ -400,3 +400,50 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
     plan_step(final=True)
     if pending_windows or window_offset == 0:
         yield make_batch()
+
+
+def run_pipeline(batches, dispatch, finalize, skip=None, depth: int = 2):
+    """Three-stage CLI driver: parse/plan (prefetch thread inside
+    ``stream_windows``) -> dispatch (this thread: pack + device upload +
+    kernel launch) -> finalize (ONE consumer thread: blocking result fetch,
+    float64 math, ordered writes).
+
+    Moving finalize off the dispatch thread lets batch k's device-result
+    wait overlap batch k+1's parse AND dispatch — with only two pipeline
+    slots the dispatch thread used to sit blocked in ``collect`` while the
+    prefetch queue filled up.  A single consumer preserves output order;
+    the bounded queue (``depth``) provides backpressure so device results
+    never pile up unfetched.
+
+    ``dispatch(batch) -> args`` and ``finalize(*args)``; batches with
+    ``skip(batch)`` true are dropped.  Exceptions from either side
+    propagate.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    errors: list[BaseException] = []
+
+    def worker():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if not errors:
+                try:
+                    finalize(*item)
+                except BaseException as e:  # noqa: BLE001
+                    errors.append(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        for batch in batches:
+            if errors:
+                break
+            if skip is not None and skip(batch):
+                continue
+            q.put(dispatch(batch))
+    finally:
+        q.put(None)
+        t.join()
+    if errors:
+        raise errors[0]

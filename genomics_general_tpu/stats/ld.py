@@ -45,15 +45,72 @@ def ld_pair(bases_a: np.ndarray, bases_b: np.ndarray, anc_a=None, anc_b=None):
     return {"D": d, "Dprime": d_prime, "r": r, "r2": r ** 2}
 
 
-def ld_matrix(alleles: np.ndarray, stat: str = "r2") -> np.ndarray:
+def ld_from_tables(tables: np.ndarray, stat: str = "r2") -> np.ndarray:
+    """Float64 LD stats from joint allele-count tables [..., 4, 4]
+    (vectorized ld_pair: per-PAIR biallelic gate over the jointly-called
+    subset, major-allele 'ancestral' with lowest-code tie-break, D/Dmin
+    sign convention — genomics.py:1132-1157)."""
+    N = tables.astype(np.int64)
+    na = N.sum(axis=-1)                       # [..., 4] site-a marginals
+    nb = N.sum(axis=-2)                       # [..., 4] site-b marginals
+    n = na.sum(axis=-1).astype(np.float64)    # jointly-called haplotypes
+    bial = ((na > 0).sum(axis=-1) == 2) & ((nb > 0).sum(axis=-1) == 2)
+    anc_a = np.argmax(na, axis=-1)            # first max = lowest code
+    anc_b = np.argmax(nb, axis=-1)
+    ia = np.expand_dims(anc_a, (-2, -1))
+    ib = np.expand_dims(anc_b, (-2, -1))
+    n_aa = np.take_along_axis(na, anc_a[..., None], -1)[..., 0]
+    n_bb = np.take_along_axis(nb, anc_b[..., None], -1)[..., 0]
+    n_ab = np.take_along_axis(
+        np.take_along_axis(N, ia, -2), ib, -1)[..., 0, 0]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # derived-count / n, matching ld_pair's np.mean over booleans
+        # bit-for-bit (1 - n_aa/n would round differently)
+        p_a = (n - n_aa) / n
+        p_b = (n - n_bb) / n
+        p_ab = (n - n_aa - n_bb + n_ab) / n
+        d = p_ab - p_a * p_b
+        d_min = np.where(
+            d < 0,
+            np.maximum(-p_a * p_b, -(1 - p_a) * (1 - p_b)),
+            np.minimum(p_a * (1 - p_b), (1 - p_a) * p_b))
+        d_prime = d / d_min
+        r = d / np.sqrt(p_a * (1 - p_a) * p_b * (1 - p_b))
+        out = {"D": d, "Dprime": d_prime, "r": r, "r2": r ** 2}[stat]
+    return np.where(bial, out, np.nan)
+
+
+def joint_tables(cols: np.ndarray, cand: np.ndarray) -> np.ndarray:
+    """Joint allele tables of one column vs many: [K, 4, 4] int64.
+
+    cols [H, K], cand [H]; rows where either is missing are excluded."""
+    called = (cols >= 0) & (cand >= 0)[:, None]               # [H, K]
+    codes = np.arange(4, dtype=np.int8)
+    oh_cols = (cols[:, :, None] == codes) & called[:, :, None]
+    oh_cand = cand[:, None] == codes                          # [H, 4]
+    return np.einsum("hka,hb->kab", oh_cols.astype(np.int64),
+                     oh_cand.astype(np.int64))
+
+
+def ld_matrix(alleles: np.ndarray, stat: str = "r2",
+              use_device: bool = False) -> np.ndarray:
     """[S, S] pairwise LD over a window's [H, S] allele matrix
-    (Alignment.LDmatrix, genomics.py:1072-1077)."""
-    S = alleles.shape[1]
-    out = np.zeros((S, S))
-    for x in range(S):
-        for y in range(x, S):
-            out[x, y] = out[y, x] = ld_pair(alleles[:, x], alleles[:, y])[stat]
-    return out
+    (Alignment.LDmatrix, genomics.py:1072-1077).
+
+    ``use_device=True`` computes the joint tables with one MXU matmul
+    (kernels/ld.pair_allele_tables); otherwise a vectorized numpy einsum.
+    Either way the float64 finalize is :func:`ld_from_tables` — both paths
+    replace the reference's O(S^2) per-pair np.unique loop."""
+    if use_device:
+        from ..kernels.ld import window_pair_tables
+        tables = window_pair_tables(alleles)
+    else:
+        codes = np.arange(4, dtype=np.int8)
+        oh = (alleles[:, :, None] == codes).astype(np.int64)  # [H, S, 4]
+        H, S, _ = oh.shape
+        flat = oh.reshape(H, S * 4)
+        tables = (flat.T @ flat).reshape(S, 4, S, 4).transpose(0, 2, 1, 3)
+    return ld_from_tables(tables, stat)
 
 
 def unique_indices(things, preserve_order=False):
@@ -70,7 +127,13 @@ def max_ld_phase(alleles: np.ndarray, sample_names, stat: str = "r2"):
     alleles: [H, S] haplotype codes; sample_names: per-row sample labels
     (consecutive rows of one sample are that sample's haplotypes).  Returns
     a re-phased copy.
-    """
+
+    The greedy ordering and comparisons are the reference's, but each
+    step's "candidate vs all placed columns" LD sweep is one vectorized
+    table build + :func:`ld_from_tables` instead of per-pair np.unique
+    calls — a ~250-site window drops from ~31k python LD calls to ~250
+    einsums (tested bit-identical against the reference in
+    tests/test_phylo.py)."""
     sample_indices = unique_indices(sample_names, preserve_order=True)[1]
     H, S = alleles.shape
     assert H == sum(len(ind) for ind in sample_indices)
@@ -86,18 +149,17 @@ def max_ld_phase(alleles: np.ndarray, sample_names, stat: str = "r2"):
         new[:, first] = list(itertools.chain(
             *[sorted(new[ind, first]) for ind in sample_indices]))
         for x in range(1, len(sites_to_do)):
-            opt1 = list(itertools.chain(
+            opt1 = np.fromiter(itertools.chain(
                 *[sorted(new[ind, sites_to_do[x]])
-                  for ind in sample_indices]))
-            opt2 = list(itertools.chain(
+                  for ind in sample_indices]), dtype=alleles.dtype, count=H)
+            opt2 = np.fromiter(itertools.chain(
                 *[sorted(new[ind, sites_to_do[x]])[::-1]
-                  for ind in sample_indices]))
-            with np.errstate(invalid="ignore"):
-                ld1 = np.mean([ld_pair(new[:, sites_to_do[y]],
-                                       np.asarray(opt1))[stat]
-                               for y in range(x)])
-                ld2 = np.mean([ld_pair(new[:, sites_to_do[y]],
-                                       np.asarray(opt2))[stat]
-                               for y in range(x)])
+                  for ind in sample_indices]), dtype=alleles.dtype, count=H)
+            placed = new[:, sites_to_do[:x]]                  # [H, x]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ld1 = np.mean(ld_from_tables(joint_tables(placed, opt1),
+                                             stat))
+                ld2 = np.mean(ld_from_tables(joint_tables(placed, opt2),
+                                             stat))
             new[:, sites_to_do[x]] = opt1 if ld1 >= ld2 else opt2
     return new

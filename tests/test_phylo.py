@@ -50,6 +50,26 @@ def test_ld_pair_matches_reference():
                 assert abs(ref[k] - mine[k]) < 1e-12, k
 
 
+def test_ld_matrix_matches_pairwise_oracle():
+    """Vectorized table path (and its device twin) vs the scalar ld_pair."""
+    import numpy as np
+
+    from genomics_general_tpu.stats.ld import ld_matrix, ld_pair
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 3, size=(14, 40)).astype(np.int8)
+    a[rng.random(a.shape) < 0.2] = -1
+    for stat in ("D", "Dprime", "r", "r2"):
+        want = np.zeros((40, 40))
+        for x in range(40):
+            for y in range(40):
+                want[x, y] = ld_pair(a[:, x], a[:, y])[stat]
+        got_np = ld_matrix(a, stat)
+        got_dev = ld_matrix(a, stat, use_device=True)
+        np.testing.assert_array_equal(got_np, want)
+        np.testing.assert_allclose(got_dev, want, rtol=1e-12, atol=1e-15)
+
+
 def test_max_ld_phase_matches_reference():
     sys.path.insert(0, "/root/reference")
     try:
