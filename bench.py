@@ -45,9 +45,9 @@ sys.path.insert(0, str(REPO))
 
 def ensure_data():
     CACHE.mkdir(exist_ok=True)
-    geno = CACHE / f"bench_{BENCH_SITES}.geno.gz"
+    geno = CACHE / f"bench_v3_{BENCH_SITES}.geno.gz"
     pops = CACHE / "bench.pops.txt"
-    sub = CACHE / f"bench_ref_{REF_SITES}.geno.gz"
+    sub = CACHE / f"bench_v3_ref_{REF_SITES}.geno.gz"
     if not geno.exists():
         from genomics_general_tpu.testing import write_geno, write_pops_file
         inds = write_geno(str(geno), n_sites=BENCH_SITES,

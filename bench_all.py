@@ -37,11 +37,11 @@ sys.path.insert(0, str(REPO))
 
 def ensure_data():
     CACHE.mkdir(exist_ok=True)
-    geno = CACHE / f"bench_{SITES}.geno.gz"
+    geno = CACHE / f"bench_v3_{SITES}.geno.gz"
     pops = CACHE / "bench.pops.txt"
-    sub = CACHE / f"bench_ref_{REF_SITES}.geno.gz"
-    wc = CACHE / f"bench_{SITES}.windcoords.txt"
-    wc_sub = CACHE / f"bench_ref_{REF_SITES}.windcoords.txt"
+    sub = CACHE / f"bench_v3_ref_{REF_SITES}.geno.gz"
+    wc = CACHE / f"bench_v3_{SITES}.windcoords.txt"
+    wc_sub = CACHE / f"bench_v3_ref_{REF_SITES}.windcoords.txt"
     if not geno.exists():
         from genomics_general_tpu.testing import write_geno, write_pops_file
         inds = write_geno(str(geno), n_sites=SITES,

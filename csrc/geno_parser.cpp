@@ -20,10 +20,14 @@
 // Build: g++ -O3 -shared -fPIC -o libgenoparser.so geno_parser.cpp
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 
 #ifdef HAVE_LIBDEFLATE
 #include <libdeflate.h>
+#endif
+#ifdef HAVE_ZLIB
+#include <zlib.h>
 #endif
 
 namespace {
@@ -309,6 +313,173 @@ int64_t gzip_decompress(const uint8_t* in, int64_t in_len,
 #else
   (void)in; (void)in_len; (void)out; (void)out_cap;
   return -3;
+#endif
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Streaming gzip chunker: serves line-aligned decompressed chunks without
+// ever materializing the whole file.
+//
+// On a 2-core host with fluctuating memory bandwidth the whole-file
+// decompress (189 MB text materialized, then re-read by the tokenizer) is
+// the dominant cost of a popgenWindows sweep; this session decompresses into
+// caller-supplied chunk-sized buffers that stay cache-warm for the tokenizer
+// that runs immediately after.
+//
+// Two decode modes, chosen per gzip member:
+//   * member fits the chunk buffer (multi-member / bgzf-style files, the
+//     common case for tabix-able .geno.gz): one-shot libdeflate per member —
+//     ~3x faster than zlib inflate;
+//   * member larger than the buffer (classic single-member gzip): fall back
+//     to zlib streaming for that member.
+// A partial trailing line is carried across calls so every returned chunk
+// ends at a newline (append-\n-at-EOF matches the Python reader).
+
+namespace {
+constexpr int64_t TAIL_CAP = 1 << 20;
+}
+
+struct GzStream {
+  const uint8_t* gz;      // borrowed; caller keeps the bytes alive
+  int64_t gz_len, gz_off;
+  int z_active;           // mid-member zlib streaming in progress
+  int z_giveup;           // stop trying libdeflate (oversized members)
+#ifdef HAVE_ZLIB
+  z_stream zs;
+#endif
+#ifdef HAVE_LIBDEFLATE
+  struct libdeflate_decompressor* dd;
+#endif
+  uint8_t tail[TAIL_CAP];
+  int64_t tail_len;
+};
+
+extern "C" {
+
+void* gz_stream_open(const uint8_t* gz, int64_t gz_len) {
+#if defined(HAVE_ZLIB)
+  GzStream* s = new GzStream();
+  s->gz = gz;
+  s->gz_len = gz_len;
+  s->gz_off = 0;
+  s->z_active = 0;
+  s->z_giveup = 0;
+  s->tail_len = 0;
+#ifdef HAVE_LIBDEFLATE
+  s->dd = libdeflate_alloc_decompressor();
+#endif
+  return s;
+#else
+  (void)gz; (void)gz_len;
+  return nullptr;
+#endif
+}
+
+void gz_stream_close(void* p) {
+#ifdef HAVE_ZLIB
+  GzStream* s = (GzStream*)p;
+  if (!s) return;
+  if (s->z_active) inflateEnd(&s->zs);
+#ifdef HAVE_LIBDEFLATE
+  if (s->dd) libdeflate_free_decompressor(s->dd);
+#endif
+  delete s;
+#endif
+}
+
+// Fill out[0..cap) with decompressed bytes ending at a line boundary.
+// Returns n > 0 bytes, 0 on clean EOF, -2 on corrupt input, -4 when a single
+// line exceeds the tail capacity (1 MB).
+int64_t gz_stream_next(void* p, uint8_t* out, int64_t cap) {
+#ifndef HAVE_ZLIB
+  (void)p; (void)out; (void)cap;
+  return -2;
+#else
+  GzStream* s = (GzStream*)p;
+  int64_t off = s->tail_len;
+  if (off) memcpy(out, s->tail, (size_t)off);
+  s->tail_len = 0;
+  const int64_t start = off;
+
+  while (off < cap && (s->gz_off < s->gz_len || s->z_active)) {
+    if (!s->z_active) {
+#ifdef HAVE_LIBDEFLATE
+      if (!s->z_giveup && s->dd) {
+        size_t in_used = 0, out_used = 0;
+        enum libdeflate_result r = libdeflate_gzip_decompress_ex(
+            s->dd, s->gz + s->gz_off, (size_t)(s->gz_len - s->gz_off),
+            out + off, (size_t)(cap - off), &in_used, &out_used);
+        if (r == LIBDEFLATE_SUCCESS) {
+          if (in_used == 0) { s->gz_off = s->gz_len; break; }
+          s->gz_off += (int64_t)in_used;
+          off += (int64_t)out_used;
+          continue;
+        }
+        if (r == LIBDEFLATE_INSUFFICIENT_SPACE) {
+          // progress was made this call: return the chunk and retry the
+          // member with a near-empty buffer next call; otherwise the member
+          // cannot fit the buffer at all -- stream it with zlib instead
+          if (off > start) break;
+          s->z_giveup = 1;
+        } else {
+          return -2;
+        }
+      }
+#endif
+      memset(&s->zs, 0, sizeof(s->zs));
+      if (inflateInit2(&s->zs, 31) != Z_OK) return -2;
+      s->z_active = 1;
+    }
+    // zlib streaming: avail_* are 32-bit, so clamp per call
+    uInt in_avail = (uInt)((s->gz_len - s->gz_off) > 0x40000000
+                           ? 0x40000000 : (s->gz_len - s->gz_off));
+    s->zs.next_in = (Bytef*)(s->gz + s->gz_off);
+    s->zs.avail_in = in_avail;
+    s->zs.next_out = out + off;
+    s->zs.avail_out = (uInt)((cap - off) > 0x40000000 ? 0x40000000
+                             : (cap - off));
+    int zr = inflate(&s->zs, Z_NO_FLUSH);
+    s->gz_off += (int64_t)(in_avail - s->zs.avail_in);
+    off = (int64_t)(s->zs.next_out - out);
+    if (zr == Z_STREAM_END) {
+      inflateEnd(&s->zs);
+      s->z_active = 0;       // next member may try libdeflate again
+      s->z_giveup = 0;
+    } else if (zr != Z_OK && zr != Z_BUF_ERROR) {
+      return -2;
+    } else if (s->zs.avail_out != 0 && s->gz_off >= s->gz_len) {
+      // input exhausted mid-member: truncated stream
+      inflateEnd(&s->zs);
+      s->z_active = 0;
+      break;
+    } else if (zr == Z_BUF_ERROR && s->zs.avail_out != 0) {
+      break;                 // no progress possible this call
+    }
+  }
+
+  if (off == 0) return 0;
+
+  // cut at the last newline; carry the remainder
+  int64_t nl = off - 1;
+  while (nl >= 0 && out[nl] != '\n') --nl;
+  bool eof = s->gz_off >= s->gz_len && !s->z_active;
+  if (nl < 0) {
+    if (eof) {                     // final line without trailing newline
+      if (off < cap) { out[off++] = '\n'; return off; }
+      return -4;
+    }
+    if (off > TAIL_CAP || off >= cap) return -4;  // one line exceeds cap
+    memcpy(s->tail, out, (size_t)off);
+    s->tail_len = off;
+    return gz_stream_next(p, out, cap);
+  }
+  int64_t keep = off - (nl + 1);
+  if (keep > TAIL_CAP) return -4;
+  if (keep) memcpy(s->tail, out + nl + 1, (size_t)keep);
+  s->tail_len = keep;
+  return nl + 1;
 #endif
 }
 

@@ -228,13 +228,19 @@ class _SiteBuffer:
                 self.pos[self.start:self.end],
                 self.sids[self.start:self.end])
 
-    def copy_span(self, n_sites: int):
-        """Copies of the first ``n_sites`` of the active span (safe to hold
-        across later appends/compactions)."""
+    def span_view(self, n_sites: int):
+        """Views of the first ``n_sites`` of the active span.
+
+        Safe to hold indefinitely: appends only write at ``end`` (past any
+        previously handed-out span), ``trim`` just moves the logical start,
+        and compaction allocates *fresh* arrays (the view keeps the old
+        storage alive).  Handing out views instead of copies removes a full
+        rewrite of every allele byte per flush — significant on
+        bandwidth-starved hosts."""
         e = self.start + n_sites
-        return (self.alleles[:, self.start:e].copy(),
-                self.pos[self.start:e].copy(),
-                self.sids[self.start:e].copy())
+        return (self.alleles[:, self.start:e],
+                self.pos[self.start:e],
+                self.sids[self.start:e])
 
     def trim(self, k: int):
         self.start += k
@@ -273,7 +279,7 @@ def _concat_plans(pieces: list[W.WindowPlan], wind_type: str) -> W.WindowPlan:
 
 
 def stream_windows(reader, wind: dict, include=None, exclude=None,
-                   min_flush_windows: int = 1024,
+                   min_flush_windows: int | None = None,
                    max_buffer_sites: int = 4 << 20,
                    progress: Progress | None = None,
                    timer: StageTimer | None = None,
@@ -295,6 +301,8 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         scaffolds it owns, parallel/multihost.py).
     """
     timer = timer or StageTimer(False)
+    if min_flush_windows is None:
+        min_flush_windows = int(os.environ.get("GGT_FLUSH_WINDOWS", 1024))
     flush_schedule = [max(1, min_flush_windows // 4),
                       max(1, min_flush_windows // 2)]
     flush_count = 0
@@ -346,10 +354,10 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         plan = (_concat_plans(pending, planner.wt) if pending
                 else W.IncrementalPlanner._empty(planner.wt))
         needed = int(plan.last.max()) if plan.n_windows else 0
-        # hand out COPIES of the needed span: the rolling buffer keeps
-        # mutating (appends/compaction) while this batch is still in flight
-        # in the caller's dispatch/finalize overlap
-        a, p, s = buf.copy_span(needed)
+        # views, not copies: _SiteBuffer never overwrites a handed-out span
+        # (see span_view), so in-flight batches in the caller's
+        # dispatch/finalize overlap stay coherent
+        a, p, s = buf.span_view(needed)
         batch = StreamBatch(plan=plan, alleles=a,
                             positions=p, scaffold_ids=s,
                             scaffold_names=reader.scaffold_names,
@@ -402,7 +410,7 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         yield make_batch()
 
 
-def run_pipeline(batches, dispatch, finalize, skip=None, depth: int = 2):
+def run_pipeline(batches, dispatch, finalize, skip=None, depth: int | None = None):
     """Three-stage CLI driver: parse/plan (prefetch thread inside
     ``stream_windows``) -> dispatch (this thread: pack + device upload +
     kernel launch) -> finalize (ONE consumer thread: blocking result fetch,
@@ -419,6 +427,8 @@ def run_pipeline(batches, dispatch, finalize, skip=None, depth: int = 2):
     ``skip(batch)`` true are dropped.  Exceptions from either side
     propagate.
     """
+    if depth is None:
+        depth = int(os.environ.get("GGT_PIPE_DEPTH", 3))
     q: queue.Queue = queue.Queue(maxsize=depth)
     errors: list[BaseException] = []
 

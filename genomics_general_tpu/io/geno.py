@@ -172,35 +172,27 @@ class GenoReader:
             # chunk boundaries and assert unchanged output)
             chunk_bytes = int(os.environ.get("GGT_CHUNK_BYTES", 16 << 20))
         self._whole: np.ndarray | None = None
-        self._gz_stream = None           # hybrid-start zlib streamer
-        self._gz_thread = None
-        self._gz_result: list = []
+        self._gz_sess = None             # native streaming gz chunker
+        self._gz_data: bytes | None = None
+        self._gz_served = 0              # decompressed bytes already handed out
+        self._sess_leftover: np.ndarray | None = None
         if isinstance(fileobj, str):
             if fileobj.endswith(".gz") and os.path.getsize(fileobj) < (4 << 30) \
                     and os.environ.get("GGT_NO_NATIVE_PARSER") != "1":
-                # Hybrid decompression: whole-file libdeflate (2-3x faster
-                # than zlib) runs in a background thread while a zlib
-                # streamer serves the first chunks immediately — the parse /
-                # upload / compute pipeline starts ~200 ms earlier instead of
-                # stalling behind the full-file decompress.  Once the
-                # libdeflate buffer is ready, chunking jumps to it at the
-                # byte offset already served.
+                # C streaming decompressor: serves line-aligned chunks
+                # without materializing the whole file (gzip members that fit
+                # the chunk buffer go through one-shot libdeflate, oversized
+                # members stream through zlib).  Chunk buffers stay
+                # cache-warm for the tokenizer that runs right after, which
+                # matters on bandwidth-starved hosts.
                 data = open(fileobj, "rb").read()
                 try:
-                    import threading
-                    import zlib as _zlib
-                    from .native import gzip_decompress_array
-                    def _bg():
-                        try:
-                            self._gz_result.append(gzip_decompress_array(data))
-                        except Exception:
-                            self._gz_result.append(None)
-                    self._gz_thread = threading.Thread(target=_bg, daemon=True)
-                    self._gz_thread.start()
-                    self._gz_stream = _ZlibStreamFile(data)
-                    fileobj = self._gz_stream
+                    from .native import GzChunkStream
+                    self._gz_sess = GzChunkStream(data, chunk_bytes)
+                    self._gz_data = data
+                    fileobj = None
                 except Exception:
-                    self._gz_stream = None
+                    self._gz_sess = None
                     fileobj = open_maybe_gz(fileobj, "rb")
             else:
                 fileobj = open_maybe_gz(fileobj, "rb")
@@ -244,7 +236,51 @@ class GenoReader:
 
     # ------------------------------------------------------------------ I/O
 
+    def _session_next(self) -> np.ndarray | None:
+        """Next line-aligned chunk from the native gz session, or None.
+
+        On a native decode failure the remaining input is replayed through
+        the Python zlib streamer from the already-served byte offset
+        (``self.f`` is set and the caller falls through to the generic read
+        path); at clean EOF ``self.f`` stays None."""
+        if self._gz_sess is None:
+            return None
+        try:
+            chunk = self._gz_sess.next_chunk()
+        except RuntimeError:
+            stream = _ZlibStreamFile(self._gz_data)
+            skip = self._gz_served
+            while skip > 0:
+                b = stream.read(min(1 << 20, skip))
+                if not b:
+                    break
+                skip -= len(b)
+            self.f = stream
+            self._gz_sess = None
+            self._gz_data = None
+            return None
+        if chunk is None:
+            self._gz_sess = None
+            self._gz_data = None
+            self._eof = True
+            return None
+        self._gz_served += chunk.size
+        return chunk
+
     def _read_header_line(self) -> bytes:
+        if self._gz_sess is not None:
+            chunk = self._session_next()
+            if chunk is not None:
+                nl = np.flatnonzero(chunk == ord("\n"))
+                if nl.size == 0:
+                    return chunk.tobytes()
+                first = int(nl[0])
+                self._sess_leftover = chunk[first + 1:]
+                return chunk[:first].tobytes()
+            if self.f is None:
+                return b""
+            # session failed on the first chunk: replay stream owns the
+            # bytes now; fall through to the generic read path
         if self._whole is not None:
             # scan only the head; headers are small
             step = 1 << 20
@@ -272,23 +308,18 @@ class GenoReader:
     def _read_chunk_lines(self):
         """Return a blob (bytes or uint8 array) of whole lines ending with a
         newline, or None at EOF."""
-        if self._gz_thread is not None:
-            if not self._gz_result \
-                    and self._gz_stream.served > 2 * self.chunk_bytes:
-                # the zlib streamer exists only to start the pipeline early;
-                # past a couple of chunks, double-decompression oversubscribes
-                # the host cores — block on libdeflate instead
-                self._gz_thread.join()
-            if self._gz_result:
-                # libdeflate finished: jump into the whole-file buffer at the
-                # offset the zlib streamer has already served (minus the kept
-                # partial-line tail, which the buffer re-covers)
-                whole = self._gz_result[0]
-                self._gz_thread = None
-                if whole is not None and not self._eof:
-                    self._whole = whole
-                    self._whole_off = self._gz_stream.served - len(self._tail)
-                    self._tail = b""
+        if self._sess_leftover is not None:
+            lo = self._sess_leftover
+            self._sess_leftover = None
+            if lo.size:
+                return lo
+        if self._gz_sess is not None:
+            chunk = self._session_next()
+            if chunk is not None:
+                return chunk
+            if self.f is None:
+                return None
+            # session failed mid-stream: continue on the replay stream below
         if self._whole is not None:
             off = self._whole_off
             total = self._whole.size
@@ -644,4 +675,8 @@ def rebind_reader(probe: GenoReader, sample_data: SampleData) -> GenoReader:
     r._eof = probe._eof
     r._whole = probe._whole
     r._whole_off = getattr(probe, "_whole_off", 0)
+    r._gz_sess = probe._gz_sess
+    r._gz_data = probe._gz_data
+    r._gz_served = probe._gz_served
+    r._sess_leftover = probe._sess_leftover
     return r

@@ -29,7 +29,9 @@ def _build() -> bool:
         return False
     base = ["g++", "-O3", "-shared", "-fPIC", "-march=native",
             "-o", str(_LIB_PATH), str(src)]
-    for extra in (["-DHAVE_LIBDEFLATE", "-ldeflate"], []):
+    for extra in (["-DHAVE_LIBDEFLATE", "-DHAVE_ZLIB", "-ldeflate", "-lz"],
+                  ["-DHAVE_ZLIB", "-lz"],
+                  ["-DHAVE_LIBDEFLATE", "-ldeflate"], []):
         try:
             subprocess.run(base + extra, check=True, capture_output=True,
                            timeout=120)
@@ -57,6 +59,17 @@ def get_lib():
         lib.gzip_decompress.restype = ctypes.c_int64
         lib.gzip_decompress.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"), ctypes.c_int64]
+    except AttributeError:
+        pass
+    try:
+        lib.gz_stream_open.restype = ctypes.c_void_p
+        lib.gz_stream_open.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.gz_stream_close.restype = None
+        lib.gz_stream_close.argtypes = [ctypes.c_void_p]
+        lib.gz_stream_next.restype = ctypes.c_int64
+        lib.gz_stream_next.argtypes = [
+            ctypes.c_void_p,
             np.ctypeslib.ndpointer(np.uint8, flags="C"), ctypes.c_int64]
     except AttributeError:
         pass
@@ -145,6 +158,64 @@ def pack_pair_planes_native(alleles: np.ndarray, called_out: np.ndarray,
 def gzip_decompress_bytes(data: bytes) -> bytes | None:
     arr = gzip_decompress_array(data)
     return arr.tobytes() if arr is not None else None
+
+
+class GzChunkStream:
+    """Streaming gzip chunker over an in-memory .gz blob (C session).
+
+    Serves line-aligned uint8 chunks without materializing the decompressed
+    file: gzip members that fit the chunk buffer are one-shot libdeflate
+    decompressed (multi-member / bgzf-style files), oversized members stream
+    through zlib.  The ctypes call releases the GIL, so decompression on the
+    prefetch thread overlaps tokenize/dispatch threads.  Buffers come from a
+    small rotating pool; ``pool_depth`` must exceed the number of chunks the
+    consumer keeps alive at once (parse pipeline depth).
+    """
+
+    def __init__(self, data: bytes, chunk_bytes: int, pool_depth: int = 8):
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "gz_stream_open"):
+            raise RuntimeError("native gz stream unavailable")
+        self.lib = lib
+        self.data = data                       # keep the blob alive
+        self.chunk_bytes = int(chunk_bytes)
+        self._bufs = [np.empty(self.chunk_bytes, dtype=np.uint8)
+                      for _ in range(pool_depth)]
+        self._next_buf = 0
+        self.ctx = lib.gz_stream_open(data, len(data))
+        if not self.ctx:
+            raise RuntimeError("gz_stream_open failed")
+        self.failed = False
+
+    def next_chunk(self) -> np.ndarray | None:
+        """Return the next line-aligned chunk view, or None at EOF.
+
+        Raises RuntimeError on corrupt input (caller falls back to the
+        Python zlib path from scratch)."""
+        if self.ctx is None:
+            return None
+        buf = self._bufs[self._next_buf]
+        self._next_buf = (self._next_buf + 1) % len(self._bufs)
+        n = self.lib.gz_stream_next(self.ctx, buf, buf.size)
+        if n == 0:
+            self.close()
+            return None
+        if n < 0:
+            self.failed = True
+            self.close()
+            raise RuntimeError(f"gz stream error {n}")
+        return buf[:n]
+
+    def close(self):
+        if self.ctx is not None:
+            self.lib.gz_stream_close(self.ctx)
+            self.ctx = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class NativeParser:

@@ -71,8 +71,15 @@ def simulate_geno_bytes(n_pops: int = 4, inds_per_pop: int = 5, n_sites: int = 1
 def write_geno(path: str, **kwargs) -> list[str]:
     data, inds = simulate_geno_bytes(**kwargs)
     if path.endswith(".gz"):
-        with gzip.open(path, "wb", compresslevel=4) as f:
-            f.write(data)
+        # multi-member gzip (~4 MB/member), the shape of real-world
+        # tabix-able .geno.gz (bgzip output is multi-member too): readable
+        # by any gzip consumer, and lets the native reader decompress
+        # members one-shot instead of streaming a single giant member
+        step = 4 << 20
+        with open(path, "wb") as f:
+            for i in range(0, len(data), step):
+                f.write(gzip.compress(data[i:i + step],
+                                      compresslevel=4, mtime=0))
     else:
         with open(path, "wb") as f:
             f.write(data)

@@ -1,0 +1,87 @@
+"""Native streaming gz session (csrc gz_stream_*) equivalence tests.
+
+The C session serves line-aligned chunks straight out of the compressed
+blob (per-member libdeflate for members that fit the chunk buffer, zlib
+streaming otherwise).  These tests pin byte-for-byte equality of parsed
+chunks against the pure-Python reader path for both gzip shapes.
+"""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from genomics_general_tpu.io import geno as geno_io
+from genomics_general_tpu.testing import simulate_geno_bytes
+
+
+@pytest.fixture(scope="module")
+def geno_text():
+    data, inds = simulate_geno_bytes(n_sites=4000, n_scaffolds=3,
+                                     scaffold_len=100000)
+    return data, inds
+
+
+def _read_all(path, chunk_bytes=None):
+    env = {}
+    if chunk_bytes:
+        env["GGT_CHUNK_BYTES"] = str(chunk_bytes)
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        r = geno_io.GenoReader(str(path), geno_format="phased")
+        d = r.read_all()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return d
+
+
+def _assert_same(a, b):
+    np.testing.assert_array_equal(a.alleles, b.alleles)
+    np.testing.assert_array_equal(a.positions, b.positions)
+    np.testing.assert_array_equal(a.scaffold_ids, b.scaffold_ids)
+    assert a.scaffold_names == b.scaffold_names
+
+
+@pytest.mark.parametrize("members", ["single", "multi"])
+def test_session_matches_python_path(tmp_path, geno_text, members, monkeypatch):
+    data, _ = geno_text
+    p = tmp_path / "t.geno.gz"
+    if members == "single":
+        p.write_bytes(gzip.compress(data, compresslevel=4, mtime=0))
+    else:
+        step = 1 << 16
+        p.write_bytes(b"".join(
+            gzip.compress(data[i:i + step], compresslevel=4, mtime=0)
+            for i in range(0, len(data), step)))
+
+    native = _read_all(p)
+    monkeypatch.setenv("GGT_NO_NATIVE_PARSER", "1")
+    python = _read_all(p)
+    _assert_same(native, python)
+
+
+def test_session_tiny_chunks(tmp_path, geno_text):
+    """Chunk buffer far smaller than a member: zlib streaming + tail carry."""
+    data, _ = geno_text
+    p = tmp_path / "t.geno.gz"
+    p.write_bytes(gzip.compress(data, compresslevel=4, mtime=0))
+    big = _read_all(p)
+    small = _read_all(p, chunk_bytes=4096)
+    _assert_same(big, small)
+
+
+def test_session_no_trailing_newline(tmp_path, geno_text):
+    data, _ = geno_text
+    assert data.endswith(b"\n")
+    p = tmp_path / "t.geno.gz"
+    p.write_bytes(gzip.compress(data[:-1], compresslevel=4, mtime=0))
+    full = _read_all(tmp_path / "t.geno.gz")
+    q = tmp_path / "u.geno.gz"
+    q.write_bytes(gzip.compress(data, compresslevel=4, mtime=0))
+    _assert_same(full, _read_all(q))
