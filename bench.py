@@ -96,13 +96,20 @@ def run_reference(sub, pops, out):
 def main():
     geno, pops, sub = ensure_data()
 
-    # warm-up (compile) then timed runs
+    # two warm-up runs (jit compile + page cache), then timed runs.
+    # Engine and reference runs are INTERLEAVED so both sides sample the
+    # same host-weather distribution (this box's CPU/memory throughput
+    # swings several-fold minute to minute; back-to-back blocks would bias
+    # the ratio either way).
+    run_engine(geno, pops, "/tmp/bench_engine_warm.csv")
     run_engine(geno, pops, "/tmp/bench_engine_warm.csv")
     times = []
+    ref_times = []
     stages = None
+    have_ref = Path(REF_PATH).exists()
     for i in range(N_RUNS):
-        # capture the stage split from the engine's StageTimer on the last
-        # run (the timer reports to stderr; grab the dict directly)
+        # capture the stage split from the engine's StageTimer (the timer
+        # reports to stderr; grab the dict directly)
         from genomics_general_tpu import engine as _eng
         rec = {}
         orig_report = _eng.StageTimer.report
@@ -115,20 +122,19 @@ def main():
         finally:
             _eng.StageTimer.report = orig_report
         times.append(dt)
-        stages = {k: round(v, 4) for k, v in rec.items()}
-        stages["other"] = round(dt - sum(rec.values()), 4)
+        if stages is None or dt <= min(times):
+            stages = {k: round(v, 4) for k, v in rec.items()}
+            stages["other"] = round(dt - sum(rec.values()), 4)
+        if have_ref:
+            ref_dt = run_reference(sub, pops, "/tmp/bench_ref.csv")
+            if ref_dt:
+                ref_times.append(ref_dt)
     dt = statistics.median(times)
     engine_sps = BENCH_SITES / dt
 
     ref_sps = None
-    ref_times = []
-    if Path(REF_PATH).exists():
-        for i in range(N_RUNS):
-            ref_dt = run_reference(sub, pops, "/tmp/bench_ref.csv")
-            if ref_dt:
-                ref_times.append(ref_dt)
-        if ref_times:
-            ref_sps = REF_SITES / statistics.median(ref_times)
+    if ref_times:
+        ref_sps = REF_SITES / statistics.median(ref_times)
 
     vs = (engine_sps / ref_sps) if ref_sps else None
     print(json.dumps({

@@ -46,6 +46,14 @@ def build_parser(full_panel: bool) -> argparse.ArgumentParser:
                    choices=("phased", "pairs", "haplo", "diplo"), required=True)
     p.add_argument("--header", action="store")
     p.add_argument("-T", "--Threads", type=int, default=1, required=False)
+    p.add_argument("--jackknife", type=int, default=None, metavar="blockSize",
+                   help="genome-wide D/fd/fdM +- SE by delete-one-block "
+                        "jackknife over blockSize-bp blocks of good windows "
+                        "(jackknife.R semantics; blocks never span "
+                        "scaffolds); written to --jackknifeFile")
+    p.add_argument("--jackknifeFile", default=None, metavar="path",
+                   help="output for --jackknife (default: outFile + "
+                        "'.jackknife.tsv', or stderr with no outFile)")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--addWindowID", action="store_true")
     p.add_argument("--writeFailedWindows", action="store_true")
@@ -107,6 +115,15 @@ def main(argv=None, full_panel: bool = False) -> int:
     if args.addWindowID:
         head = "windowID," + head
 
+    jackknife_bs = args.jackknife
+    if jackknife_bs is not None:
+        assert jackknife_bs > 0, "--jackknife block size must be positive"
+        assert not args.resume, \
+            "--jackknife needs every window's sums; --resume is not supported"
+        # per-good-window ratio components, accumulated by the finalize
+        # consumer thread (single consumer -> no locking needed)
+        jk_rows: list[tuple[str, int, float, float, float, float]] = []
+
     n_procs = multihost.process_count()
     if n_procs > 1:
         # per-host scaffold sharding; rows gathered to an ordered host-0
@@ -135,8 +152,9 @@ def main(argv=None, full_panel: bool = False) -> int:
     progress = engine.Progress(args.verbose)
 
     mode = "polarize" if polarize else ("fixed" if fixed else "minor")
-    if use_device:
-        from ..kernels import abba as abba_k
+    from ..kernels import abba as abba_k
+    jk_channels = abba_k.FULL_CHANNELS if full_panel else abba_k.CLASSIC_CHANNELS
+    jk_idx = {c: k for k, c in enumerate(jk_channels)}
 
     def dispatch(batch):
         plan = batch.plan
@@ -188,7 +206,8 @@ def main(argv=None, full_panel: bool = False) -> int:
                         f, l = int(plan.first[w]), int(plan.last[w])
                         res = abbababa.window_four_pop_panel(
                             [c[f:l] for c in counts_pops], counts_union[f:l],
-                            n_pops, min_data, polarize, fixed, full_panel)
+                            n_pops, min_data, polarize, fixed, full_panel,
+                            with_sums=jackknife_bs is not None)
                     sites_used = res["sitesUsed"]
                     if sites_used >= min_sites:
                         is_good = True
@@ -206,6 +225,19 @@ def main(argv=None, full_panel: bool = False) -> int:
                     row.append(str(plan.ids[w]))
                 scaf_name = batch.scaffold_names[plan.scaffold_id[w]] \
                     if plan.scaffold_id[w] >= 0 else "None"
+                if jackknife_bs is not None and is_good \
+                        and mid[w] == mid[w]:
+                    if use_device:
+                        s_w = sums[w]
+                        jk_rows.append((scaf_name, int(mid[w]),
+                                        float(s_w[jk_idx["num_f4"]]),
+                                        float(s_w[jk_idx["den_D"]]),
+                                        float(s_w[jk_idx["den_fd"]]),
+                                        float(s_w[jk_idx["den_fdm"]])))
+                    else:
+                        jk_rows.append((scaf_name, int(mid[w]),
+                                        res["_num_f4"], res["_den_D"],
+                                        res["_den_fd"], res["_den_fdm"]))
                 row += [scaf_name,
                         str(int(plan.start[w])), str(int(plan.end[w])),
                         writers.fmt_int_or_nan(mid[w]), str(n_sites_w),
@@ -240,6 +272,9 @@ def main(argv=None, full_panel: bool = False) -> int:
         mh_writer.finish(out, head + "\n", reader.scaffold_names)
         if args.outFile and out is not None:
             out.close()
+        if jackknife_bs is not None:
+            _write_jackknife(jk_rows, jackknife_bs, reader.scaffold_names,
+                             args)
         progress.close()
         timer.report()
         return 0
@@ -247,9 +282,71 @@ def main(argv=None, full_panel: bool = False) -> int:
         cursor.clear()
     if args.outFile:
         out.close()
+    if jackknife_bs is not None:
+        _write_jackknife(jk_rows, jackknife_bs, reader.scaffold_names, args)
     progress.close()
     timer.report()
     return 0
+
+
+def _write_jackknife(jk_rows, block_size: int, scaffold_order, args) -> None:
+    """Genome-wide D/fd/fdM +- SE from per-window ratio components.
+
+    Blocks follow jackknife.R's get.block.indices (jackknife.R:5-36):
+    per-scaffold blocks of ``block_size`` bp anchored at the scaffold's
+    first good-window midpoint; delete-one-block pseudovalues via the
+    O(blocks) ratio jackknife (stats/jackknife.ratio_jackknife), which
+    equals block.jackknife (jackknife.R:41-61) with FUN = ratio-of-sums
+    over the per-window num/den columns.  In multi-host runs every host
+    contributes its windows' partial sums (allgathered; host 0 computes
+    and writes)."""
+    import pickle
+
+    from ..parallel import multihost
+    from ..stats import jackknife as J
+    if multihost.process_count() > 1:
+        blobs = multihost.allgather_bytes(
+            pickle.dumps(jk_rows, protocol=pickle.HIGHEST_PROTOCOL))
+        if multihost.process_index() != 0:
+            return
+        jk_rows = [r for b in blobs for r in pickle.loads(b)]
+    order = {n: i for i, n in enumerate(scaffold_order)}
+    jk_rows = sorted(jk_rows,
+                     key=lambda r: (order.get(r[0], len(order)), r[1]))
+    if args.jackknifeFile:
+        out = writers.open_out(args.jackknifeFile)
+    elif args.outFile:
+        out = writers.open_out(args.outFile + ".jackknife.tsv")
+    else:
+        out = sys.stderr
+    out.write("\t".join(["stat", "overall", "jackknife_mean", "variance",
+                         "standard_deviation", "standard_error", "Z",
+                         "n_blocks"]) + "\n")
+    if jk_rows:
+        chroms = np.array([r[0] for r in jk_rows])
+        mids = np.array([r[1] for r in jk_rows], dtype=np.int64)
+        vals = np.array([r[2:] for r in jk_rows], dtype=np.float64)
+        indices = J.block_indices(block_size, mids, chroms)
+    else:
+        indices = []
+    for col, name in ((1, "D"), (2, "fd"), (3, "fdM")):
+        if not indices:
+            out.write(name + "\tnan" * 6 + "\t0\n")
+            continue
+        num, den = vals[:, 0], vals[:, col]
+        nb = np.array([num[ix].sum() for ix in indices])
+        db = np.array([den[ix].sum() for ix in indices])
+        res = J.ratio_jackknife(nb, db)
+        overall = num.sum() / den.sum()
+        z = overall / res["standard_error"] \
+            if res["standard_error"] > 0 else np.nan
+        out.write("\t".join([name, str(overall), str(res["mean"]),
+                             str(res["variance"]),
+                             str(res["standard_deviation"]),
+                             str(res["standard_error"]), str(z),
+                             str(len(indices))]) + "\n")
+    if out is not sys.stderr:
+        out.close()
 
 
 if __name__ == "__main__":

@@ -61,6 +61,11 @@ def main(argv=None) -> int:
     from ..parallel import multihost
     multihost.maybe_initialize()     # must precede any XLA backend touch
     enable_compilation_cache()
+    # the blocks-mode flush kernel finalizes in f64 on device; enabling x64
+    # once here (like abba_windows) keeps every flush on one jit cache entry
+    # instead of toggling config state per call
+    import jax
+    jax.config.update("jax_enable_x64", True)
     args = build_parser().parse_args(argv)
     wind = common.resolve_window_args(args)
     analysis = args.analysis

@@ -193,17 +193,18 @@ def _exception_patch(m, s, ex_w, ex_codes, wp):
     called = (ex_codes >= 0)
     eq = (ex_codes[:, :, None] == ex_codes[:, None, :])
     both = called[:, :, None] & called[:, None, :]
-    s_e = jnp.where(both, 1.0, 0.0)                       # [E, H, H]
-    m_e = jnp.where(both & ~eq, 1.0, 0.0)
-    onehot = (ex_w[:, None] == jnp.arange(wp, dtype=jnp.int32)[None, :])
-    onehot = onehot.astype(jnp.float32)                   # [E, wp]
+    s_e = jnp.where(both, 1, 0).astype(jnp.int32)         # [E, H, H]
+    m_e = jnp.where(both & ~eq, 1, 0).astype(jnp.int32)
     E, H, _ = s_e.shape
-    s_add = jnp.einsum("ew,ex->wx", onehot, s_e.reshape(E, H * H),
-                       preferred_element_type=jnp.float32)
-    m_add = jnp.einsum("ew,ex->wx", onehot, m_e.reshape(E, H * H),
-                       preferred_element_type=jnp.float32)
-    m = m + m_add.reshape(wp, H, H).astype(jnp.int32)
-    s = s + s_add.reshape(wp, H, H).astype(jnp.int32)
+    # segment-sum over the window axis (padding entries have ex_w == wp and
+    # land in the dropped overflow segment).  A [E, wp] one-hot matmul blows
+    # up memory when a dataset is heavily multi-allelic (E ~ all sites).
+    s_add = jax.ops.segment_sum(s_e.reshape(E, H * H), ex_w,
+                                num_segments=wp + 1)[:wp]
+    m_add = jax.ops.segment_sum(m_e.reshape(E, H * H), ex_w,
+                                num_segments=wp + 1)[:wp]
+    m = m + m_add.reshape(wp, H, H)
+    s = s + s_add.reshape(wp, H, H)
     return m, s
 
 

@@ -142,9 +142,13 @@ def _freqs(counts: np.ndarray) -> np.ndarray:
 def window_four_pop_panel(counts_pops: list[np.ndarray], counts_union: np.ndarray,
                           n_pops: list[int], min_data: float,
                           polarize: bool, fixed: bool,
-                          full_panel: bool) -> dict:
+                          full_panel: bool, with_sums: bool = False) -> dict:
     """One window.  counts_pops: four [S,4] int arrays (P1..P4=outgroup);
-    counts_union: [S,4] over the union of the four pops' haplotype rows."""
+    counts_union: [S,4] over the union of the four pops' haplotype rows.
+
+    ``with_sums`` adds the raw ratio components ``_num_f4`` / ``_den_D`` /
+    ``_den_fd`` / ``_den_fdm`` (window-level partial sums for the block
+    jackknife, jackknife.R:41-61)."""
     nonmiss_union = counts_union.sum(axis=1, dtype=np.int64)
     biallelic = (counts_union > 0).sum(axis=1) == 2
     enough = np.ones(counts_union.shape[0], dtype=bool)
@@ -154,7 +158,10 @@ def window_four_pop_panel(counts_pops: list[np.ndarray], counts_union: np.ndarra
     good = np.flatnonzero(biallelic & enough)
     stats_names = FOURPOP_STATS if full_panel else ABBABABA_STATS
     if good.size < 1:
-        return dict(zip(stats_names, [np.nan] * (len(stats_names) - 1) + [0]))
+        out = dict(zip(stats_names, [np.nan] * (len(stats_names) - 1) + [0]))
+        if with_sums:
+            out.update(_num_f4=0.0, _den_D=0.0, _den_fd=0.0, _den_fdm=0.0)
+        return out
 
     all4freqs = _freqs(counts_union[good])
     Pfreqs = [_freqs(c[good]) for c in counts_pops]
@@ -191,7 +198,18 @@ def window_four_pop_panel(counts_pops: list[np.ndarray], counts_union: np.ndarra
             vals = [D_stat(p1, p2, p3, p4), fd(p1, p2, p3, p4),
                     fdm(p1, p2, p3, p4), ABBA(p1, p2, p3, p4),
                     BABA(p1, p2, p3, p4), sites_used]
-    return dict(zip(stats_names, vals))
+    out = dict(zip(stats_names, vals))
+    if with_sums:
+        with np.errstate(invalid="ignore"):
+            pd_ = p2 * (p2 > p3) + p3 * (p3 >= p2)
+            pdm1, pdm2, pdm3 = get_fdm_p(p1, p2, p3)
+            out["_num_f4"] = float(f4(p1, p2, p3, p4).sum())
+            out["_den_D"] = float((
+                (1 - p1) * p2 * p3 * (1 - p4)
+                + p1 * (1 - p2) * p3 * (1 - p4)).sum())
+            out["_den_fd"] = float(f4(p1, pd_, pd_, p4).sum())
+            out["_den_fdm"] = float(f4(pdm1, pdm2, pdm3, p4).sum())
+    return out
 
 
 def abbababa_windows(counts_pops: list[np.ndarray], counts_union: np.ndarray,

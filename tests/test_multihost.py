@@ -117,6 +117,24 @@ def test_two_process_abba_windows(tmp_path):
                      "--writeFailedWindows", "-o", out])
 
 
+def test_two_process_abba_jackknife(tmp_path):
+    """--jackknife in a sharded run: per-host window ratio components are
+    allgathered and host 0 writes the block-jackknife table; must be
+    byte-identical to a 1-process run (the CSV is too, as elsewhere)."""
+    def args_for(out):
+        return ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
+                "-w", "25000", "-s", "25000", "-m", "20",
+                "--minData", "0.3",
+                "-P1", "pop1", "-P2", "pop2", "-P3", "pop3",
+                "-O", "pop4", "--popsFile", str(D / "sim1.pops.txt"),
+                "--jackknife", "60000",
+                "--jackknifeFile", out + ".jk.tsv", "-o", out]
+    _run_cli_dist(tmp_path, "genomics_general_tpu.cli.abba_windows", args_for)
+    single = (tmp_path / "single.csv.jk.tsv").read_bytes()
+    dist = (tmp_path / "dist.csv.jk.tsv").read_bytes()
+    assert single and single == dist
+
+
 def test_two_process_four_pop_windows(tmp_path):
     """fourPopWindows full 12-stat panel across the 2-process gather."""
     _run_cli_dist(
