@@ -13,10 +13,10 @@ Method
 * engine: end-to-end pipeline (gz text parse -> window plan -> biallelic
   wire upload -> MXU pair counts -> on-device f64 block finalize -> CSV)
   via the library CLI entry; one warm-up run (jit compile), then the
-  MEDIAN of 3 timed runs.
+  MEDIAN of N_RUNS (default 5) timed runs, interleaved with reference runs.
 * baseline: the reference popgenWindows.py -T 1 on a subset of the same
   data (sites/s extrapolates; the reference is O(sites) in this regime);
-  MEDIAN of 3 runs.
+  same interleave.
 * stages: cumulative per-stage wall clock (StageTimer) from the last timed
   engine run; "other" is the untimed remainder (reader init / decompress
   lead-in / loop overhead).
@@ -38,7 +38,7 @@ CACHE = REPO / ".bench_cache"
 BENCH_SITES = int(os.environ.get("BENCH_SITES", 2_000_000))
 REF_SITES = int(os.environ.get("BENCH_REF_SITES", 40_000))
 REF_PATH = os.environ.get("BENCH_REF", "/root/reference")
-N_RUNS = int(os.environ.get("BENCH_RUNS", 3))
+N_RUNS = int(os.environ.get("BENCH_RUNS", 5))
 
 sys.path.insert(0, str(REPO))
 

@@ -188,40 +188,41 @@ def main():
     for name, steps in config_cmds(geno, pops, wc, out_dir).items():
         if only and name not in only:
             continue
-        # engine: warm-up then median of N_RUNS
+        # warm-up (compiles), then N_RUNS engine/reference pairs INTERLEAVED
+        # so both sides sample the same host-weather distribution (the box's
+        # CPU/memory throughput swings several-fold minute to minute)
         for module, args, _, _ in steps:
             run_engine_step(module, args)            # compile warm-up
         times = []
+        ref_times = []
+        thread_flag = {"freq.py": ["-t", "1"], "sfs.py": []}
+        have_ref = Path(REF_PATH).exists()
         for _ in range(N_RUNS):
             dt = 0.0
             for module, args, _, _ in steps:
                 dt += run_engine_step(module, args)
             times.append(dt)
+            if not have_ref:
+                continue
+            dt = 0.0
+            ok = True
+            for module, args, script, ref_args in steps:
+                if ref_args is None:
+                    rargs = swap_input(args, geno, sub)
+                    rargs = swap_input(rargs, wc, wc_sub)
+                    rargs += thread_flag.get(script, ["-T", "1"])
+                else:
+                    rargs = swap_input(ref_args, "SUB", sub)
+                d = run_ref_step(script, rargs)
+                if d is None:
+                    ok = False
+                    break
+                dt += d
+            if ok:
+                ref_times.append(dt)
         eng_dt = statistics.median(times)
         eng_sps = SITES / eng_dt
-
-        # reference single-thread on the subset
         ref_sps = None
-        ref_times = []
-        thread_flag = {"freq.py": ["-t", "1"], "sfs.py": []}
-        if Path(REF_PATH).exists():
-            for _ in range(N_RUNS):
-                dt = 0.0
-                ok = True
-                for module, args, script, ref_args in steps:
-                    if ref_args is None:
-                        rargs = swap_input(args, geno, sub)
-                        rargs = swap_input(rargs, wc, wc_sub)
-                        rargs += thread_flag.get(script, ["-T", "1"])
-                    else:
-                        rargs = swap_input(ref_args, "SUB", sub)
-                    d = run_ref_step(script, rargs)
-                    if d is None:
-                        ok = False
-                        break
-                    dt += d
-                if ok:
-                    ref_times.append(dt)
         if ref_times:
             ref_sps = REF_SITES / statistics.median(ref_times)
 

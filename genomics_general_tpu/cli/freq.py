@@ -86,6 +86,8 @@ def minor_allele_codes(counts: np.ndarray) -> np.ndarray:
 
 
 def main(argv=None) -> int:
+    from ..parallel import multihost
+    multihost.maybe_initialize()     # must precede any XLA backend touch
     args = build_parser().parse_args(argv)
 
     # ---- populations (freq.py:243-274); the header must be read first to
@@ -154,9 +156,21 @@ def main(argv=None) -> int:
     keep_nan_lines = args.keepNanLines if args.target else True
     min_data = args.minData if args.target else 0
 
-    out = writers.open_out(args.outFile)
-    out.write("scaffold\tposition\t")
-    out.write("\t".join(pop_names) + "\n")
+    head = "scaffold\tposition\t" + "\t".join(pop_names) + "\n"
+    n_procs = multihost.process_count()
+    if n_procs > 1:
+        # scaffold-sharded parse + host-0 ordered writer: the TPU-native
+        # analog of the reference's fileSlicer -T pool (freq.py:23-27,
+        # 315-350); per-site rows buffer per scaffold (zlib segments) and
+        # gather at the end
+        shard_pred = multihost.shard_predicate(n_procs,
+                                               multihost.process_index())
+        mh_writer = multihost.MultiHostWriter()
+        out = None
+    else:
+        shard_pred, mh_writer = None, None
+        out = writers.open_out(args.outFile)
+        out.write(head)
 
     # ---- device counts: one mask per pop (+ingroup union for derived,
     # +all-rows union for multi-pop minor)
@@ -179,24 +193,40 @@ def main(argv=None) -> int:
 
     progress = _engine.Progress(args.verbose)
 
+    def emit(row_sids, lines):
+        """Write formatted lines: directly (single host) or buffered per
+        scaffold run for the host-0 gather (multi-host)."""
+        if not lines:
+            return
+        if mh_writer is None:
+            out.write("".join(lines))
+            return
+        row_sids = np.asarray(row_sids)
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(row_sids[1:] != row_sids[:-1]) + 1,
+             [len(lines)]])
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            mh_writer.write_row(reader.scaffold_names[row_sids[a]],
+                                "".join(lines[a:b]))
+
     def process_block(alleles, scaffold_ids, positions):
         """Per-site processing of one parsed chunk (everything here is
         sitewise, so streaming chunk-by-chunk preserves output exactly)."""
         counts = counts_k.site_pop_counts_chunked(alleles, mask)  # [S,n_masks,4]
         S = counts.shape[0]
         scaf_names = np.array(reader.scaffold_names, dtype=object)
+        scafs = scaf_names[scaffold_ids].tolist() if S else []
+        pos_strs = [str(p) for p in positions.tolist()]
 
         if not args.target:
             # counts mode: "a,c,g,t" per pop (freq.py:52-60)
             cols = []
             for k in range(P):
-                c = counts[:, k, :]
-                cols.append(np.array([",".join(r) for r in c.astype(str)],
-                                     dtype=object))
-            for s in range(S):
-                out.write(scaf_names[scaffold_ids[s]] + "\t"
-                          + str(int(positions[s])) + "\t"
-                          + "\t".join(col[s] for col in cols) + "\n")
+                c = counts[:, k, :].astype(str)
+                cols.append([",".join(r) for r in c])
+            lines = ["\t".join(t) + "\n"
+                     for t in zip(scafs, pos_strs, *cols)]
+            emit(scaffold_ids, lines)
             return S
 
         if args.target == "derived":
@@ -236,11 +266,12 @@ def main(argv=None) -> int:
                 rows_out = np.flatnonzero(~np.all(pop_vals == 0, axis=1))
         else:
             rows_out = np.arange(S)
-        vals_str = pop_vals.astype(str)
-        for s in rows_out:
-            out.write(scaf_names[scaffold_ids[s]] + "\t"
-                      + str(int(positions[s])) + "\t"
-                      + "\t".join(vals_str[s]) + "\n")
+        vals_str = pop_vals[rows_out].astype(str)
+        lines = ["\t".join(t) + "\n"
+                 for t in zip((scafs[s] for s in rows_out),
+                              (pos_strs[s] for s in rows_out),
+                              *vals_str.T)]
+        emit(scaffold_ids[rows_out], lines)
         return S
 
     # --test mirrors the reference's 10-slice smoke run (freq.py:222,
@@ -256,9 +287,25 @@ def main(argv=None) -> int:
             sids = sids[:test_sites_left]
             pos = pos[:test_sites_left]
             test_sites_left -= pos.size
+        if shard_pred is not None:
+            owned = np.array([shard_pred(n)
+                              for n in reader.scaffold_names], dtype=bool)
+            keep = owned[sids]
+            if not keep.all():
+                a, sids, pos = a[:, keep], sids[keep], pos[keep]
+        if pos.size == 0:
+            continue
         done = process_block(a, sids, pos)
         progress.update(sites=done, rows=done)
 
+    if mh_writer is not None:
+        out = writers.open_out(args.outFile) \
+            if multihost.process_index() == 0 else None
+        mh_writer.finish(out, head, reader.scaffold_names)
+        if args.outFile and out is not None:
+            out.close()
+        progress.close()
+        return 0
     if args.outFile:
         out.close()
     progress.close()

@@ -139,43 +139,73 @@ class MultiHostWriter:
       to a single-host run even when the window file interleaves scaffolds
       (plain scaffold grouping would reorder such files)."""
 
+    SEGMENT_RAW = 4 << 20      # compress buffered text in ~4 MB segments
+
     def __init__(self):
-        self.blocks: dict[str, list[str]] = {}
+        # per-scaffold: (list of zlib-compressed segments, list of pending
+        # raw strings, pending raw length).  Compressing as we go bounds the
+        # held memory at roughly the compressed output size (~10x smaller
+        # for CSV/TSV text) instead of the full uncompressed stream —
+        # genome-scale per-site outputs (freq) would otherwise hold the
+        # entire file on every host.
+        self.blocks: dict[str, tuple[list[bytes], list[str], int]] = {}
         self.keyed_rows: list[tuple[int, str]] = []
 
     def write_row(self, scaffold: str, line: str,
                   order_key: int | None = None) -> None:
         if order_key is not None:
             self.keyed_rows.append((order_key, line))
-        else:
-            self.blocks.setdefault(scaffold, []).append(line)
+            return
+        entry = self.blocks.get(scaffold)
+        if entry is None:
+            entry = ([], [], 0)
+            self.blocks[scaffold] = entry
+        segs, raw, raw_len = entry
+        raw.append(line)
+        raw_len += len(line)
+        if raw_len >= self.SEGMENT_RAW:
+            segs.append(zlib.compress("".join(raw).encode(), 1))
+            raw.clear()
+            raw_len = 0
+        self.blocks[scaffold] = (segs, raw, raw_len)
+
+    def _sealed(self) -> dict[str, list[bytes]]:
+        out = {}
+        for k, (segs, raw, _) in self.blocks.items():
+            if raw:
+                segs = segs + [zlib.compress("".join(raw).encode(), 1)]
+            out[k] = segs
+        return out
 
     def finish(self, out, header: str, scaffold_order: list[str]) -> None:
         """Gather all hosts' rows; process 0 writes header + ordered rows."""
-        payload = pickle.dumps(
-            ({k: "".join(v) for k, v in self.blocks.items()},
-             self.keyed_rows),
-            protocol=pickle.HIGHEST_PROTOCOL)
+        payload = pickle.dumps((self._sealed(), self.keyed_rows),
+                               protocol=pickle.HIGHEST_PROTOCOL)
         gathered = allgather_bytes(payload)
         if process_index() != 0:
             return
-        merged: dict[str, str] = {}
+        merged: dict[str, list[bytes]] = {}
         keyed: list[tuple[int, str]] = []
         for blob in gathered:
             blocks, rows = pickle.loads(blob)
-            for k, v in blocks.items():
+            for k, segs in blocks.items():
                 # defensive: scaffold ownership is disjoint, but never
                 # silently drop rows if two hosts ever emit the same key
-                merged[k] = merged.get(k, "") + v
+                merged.setdefault(k, []).extend(segs)
             keyed.extend(rows)
         out.write(header)
         keyed.sort(key=lambda kv: kv[0])
         for _, line in keyed:
             out.write(line)
+
+        def write_scaf(name):
+            for seg in merged.pop(name):
+                out.write(zlib.decompress(seg).decode())
+
         for name in scaffold_order:
             if name in merged:
-                out.write(merged.pop(name))
+                write_scaf(name)
         # scaffolds only present in predefined window lists but absent from
         # host-0's observed order: write in deterministic name order
         for name in sorted(merged):
-            out.write(merged[name])
+            write_scaf(name)

@@ -147,6 +147,23 @@ def test_two_process_four_pop_windows(tmp_path):
                      "-o", out])
 
 
+def test_two_process_freq(tmp_path):
+    """Scaffold-sharded freq (per-site rows, segment-compressed per-host
+    buffers): 2-process TSV must be byte-identical to 1-process, in both
+    counts mode and derived-target mode."""
+    _run_cli_dist(
+        tmp_path, "genomics_general_tpu.cli.freq",
+        lambda out: ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
+                     "-p", "pop1", "-p", "pop2", "-p", "pop3", "-p", "pop4",
+                     "--popsFile", str(D / "sim1.pops.txt"), "-o", out])
+    _run_cli_dist(
+        tmp_path, "genomics_general_tpu.cli.freq",
+        lambda out: ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
+                     "--target", "derived",
+                     "-p", "pop1", "-p", "pop2", "-p", "pop3", "-p", "pop4",
+                     "--popsFile", str(D / "sim1.pops.txt"), "-o", out])
+
+
 def test_two_process_sfs_psum(tmp_path):
     """Scaffold-sharded sfs: per-host dense spectra merged with device
     collectives (sum counts / min first-occurrence keys); 2-process spectra
