@@ -98,6 +98,8 @@ def byfreq_order(counts: np.ndarray) -> np.ndarray:
 
 
 def main(argv=None) -> int:
+    from ..parallel import multihost
+    multihost.maybe_initialize()     # must precede any XLA backend touch
     args = build_parser().parse_args(argv)
 
     include = list(args.include) if args.include else []
@@ -209,16 +211,35 @@ def main(argv=None) -> int:
 
     model = reader.model
 
-    out = writers.open_out(args.outfile)
     out_fmt = args.outputGenoFormat
     header_cols = ["#CHROM", "POS"]
     if out_fmt != "bases":
-        out.write("\t".join(header_cols + samples) + "\n")
+        head = "\t".join(header_cols + samples) + "\n"
     else:
         assert args.ploidy is not None or args.ploidyFile, "Ploidy must be specified."
         out_samples = [s + "_" + letter for s in samples
                        for letter in _string.ascii_uppercase[:sd.ploidy[s]]]
-        out.write("\t".join(header_cols + out_samples) + "\n")
+        head = "\t".join(header_cols + out_samples) + "\n"
+
+    n_procs = multihost.process_count()
+    if n_procs > 1:
+        # scaffold-sharded multi-host: the analog of the reference's line-pod
+        # -T pool (filterGenotypes.py:387-412).  Thinning state is
+        # per-scaffold (lastScaf resets on scaffold change), so sharding by
+        # scaffold preserves single-host output exactly.  randomAllele draws
+        # come from each host's own RNG stream (the reference's -T pods are
+        # equally nondeterministic there).
+        assert not args.thinDist, \
+            "--thinDist pod resets are absolute-line-indexed; thinning is " \
+            "not supported in scaffold-sharded multi-host runs"
+        shard_pred = multihost.shard_predicate(n_procs,
+                                               multihost.process_index())
+        mh_writer = multihost.MultiHostWriter()
+        out = None
+    else:
+        shard_pred, mh_writer = None, None
+        out = writers.open_out(args.outfile)
+        out.write(head)
 
     # ---- per-chunk streaming filter (O(chunk) memory; everything below is
     # sitewise except thinning, whose (lastScaf, lastPos, absolute line
@@ -384,14 +405,31 @@ def main(argv=None) -> int:
             return outf
 
         scafs_of = scaf_names[scaffold_ids]
+
+        def flush(buf, buf_sids):
+            if not buf:
+                return
+            if mh_writer is None:
+                out.write("".join(buf))
+                return
+            sids_arr = np.asarray(buf_sids)
+            bounds = np.concatenate(
+                [[0], np.flatnonzero(sids_arr[1:] != sids_arr[:-1]) + 1,
+                 [len(buf)]])
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                mh_writer.write_row(reader.scaffold_names[sids_arr[a]],
+                                    "".join(buf[a:b]))
+
         buf = []
+        buf_sids = []
         for s in kept:
             buf.append(scafs_of[s] + "\t" + str(int(positions[s])) + "\t"
                        + "\t".join(fields_for_site(int(s))) + "\n")
+            buf_sids.append(scaffold_ids[s])
             if len(buf) >= 10000:
-                out.write("".join(buf))
-                buf = []
-        out.write("".join(buf))
+                flush(buf, buf_sids)
+                buf, buf_sids = [], []
+        flush(buf, buf_sids)
 
     from .. import engine as _engine
     progress = _engine.Progress(args.verbose)
@@ -402,9 +440,26 @@ def main(argv=None) -> int:
         yield from reader.iter_chunks()
 
     for chunk in _engine._prefetched(all_chunks()):
-        process_chunk(chunk.alleles, chunk.positions, chunk.scaffold_ids)
-        progress.update(sites=chunk.positions.shape[0])
+        a, pos, sids = chunk.alleles, chunk.positions, chunk.scaffold_ids
+        if shard_pred is not None:
+            owned = np.array([shard_pred(n)
+                              for n in reader.scaffold_names], dtype=bool)
+            keep = owned[sids]
+            if not keep.all():
+                a, pos, sids = a[:, keep], pos[keep], sids[keep]
+            if pos.size == 0:
+                continue
+        process_chunk(a, pos, sids)
+        progress.update(sites=pos.shape[0])
 
+    if mh_writer is not None:
+        out = writers.open_out(args.outfile) \
+            if multihost.process_index() == 0 else None
+        mh_writer.finish(out, head, reader.scaffold_names)
+        if args.outfile and out is not None:
+            out.close()
+        progress.close()
+        return 0
     if args.outfile:
         out.close()
     progress.close()

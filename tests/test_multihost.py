@@ -164,6 +164,17 @@ def test_two_process_freq(tmp_path):
                      "--popsFile", str(D / "sim1.pops.txt"), "-o", out])
 
 
+def test_two_process_filter_genotypes(tmp_path):
+    """Scaffold-sharded filterGenotypes: 2-process geno output byte-identical
+    to 1-process (siteTest mask stack + per-scaffold row gather)."""
+    _run_cli_dist(
+        tmp_path, "genomics_general_tpu.cli.filter_genotypes",
+        lambda out: ["-i", str(D / "sim1.geno.gz"),
+                     "-if", "phased", "-of", "phased",
+                     "--minCalls", "15", "--minAlleles", "2",
+                     "-o", out])
+
+
 def test_two_process_sfs_psum(tmp_path):
     """Scaffold-sharded sfs: per-host dense spectra merged with device
     collectives (sum counts / min first-occurrence keys); 2-process spectra
