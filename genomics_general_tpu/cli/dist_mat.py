@@ -58,12 +58,28 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from ..parallel import multihost
+    multihost.maybe_initialize()     # must precede any XLA backend touch
     args = build_parser().parse_args(argv)
     if args.windType == "cat":
         wind = {"windType": "cat", "minSites": 1}
     else:
         wind = common.resolve_window_args(args)
     min_sites = wind["minSites"]
+
+    n_procs = multihost.process_count()
+    if n_procs > 1:
+        # scaffold-sharded multi-host.  Windowed modes gather matrix blocks
+        # to a host-0 ordered writer; cat mode psum-merges the genome-wide
+        # pair-count accumulators across hosts (the SURVEY's "global
+        # distance matrices" collective case).
+        assert args.windType != "predefined", \
+            "predefined window lists are not supported in multi-host " \
+            "distMat runs (absent-scaffold rows have no owner)"
+        shard_pred = multihost.shard_predicate(n_procs,
+                                               multihost.process_index())
+    else:
+        shard_pred = None
 
     # samples (distMat.py:199-206)
     if args.samples:
@@ -98,25 +114,32 @@ def main(argv=None) -> int:
     n_ind = len(samples)
     progress = engine.Progress(args.verbose)
 
+    winmeta_head = ("windowID," if args.addWindowID else "") \
+        + "scaffold,start,end,mid,sites,"
     outs = {}
-    outs["main"] = writers.open_out(args.outFile)
-    if args.windowDataOutFile:
-        outs["windows"] = writers.open_out(args.windowDataOutFile)
-        if not args.addWindowID:
-            outs["windows"].write("scaffold,start,end,mid,sites,")
-        else:
-            outs["windows"].write("windowID,scaffold,start,end,mid,sites,")
+    if n_procs > 1:
+        mh_main = multihost.MultiHostWriter()
+        mh_meta = multihost.MultiHostWriter() if args.windowDataOutFile \
+            else None
+    else:
+        mh_main = mh_meta = None
+        outs["main"] = writers.open_out(args.outFile)
+        if args.windowDataOutFile:
+            outs["windows"] = writers.open_out(args.windowDataOutFile)
+            outs["windows"].write(winmeta_head)
 
-    def emit(plan, mism, shar, batch, w, mid):
-        """Write one window's matrix (+ optional window metadata row)."""
+    def emit(plan, mism, shar, batch, w, mid, ind_called=None):
+        """Write one window's matrix (+ optional window metadata row).
+        ``ind_called``: precomputed per-haplotype called-site counts (used
+        by the multi-host cat merge instead of slicing local alleles)."""
         sites = plan.n_sites
         is_good = bool(sites[w] >= min_sites)
         dist_out = np.full((n_ind, n_ind), np.nan)
         if is_good:
             f, l = int(plan.first[w]), int(plan.last[w])
-            if args.minPerInd and int(
-                    (batch_alleles(batch)[:, f:l] >= 0)
-                    .sum(axis=1).min()) < args.minPerInd:
+            if ind_called is None and args.minPerInd is not None:
+                ind_called = (batch_alleles(batch)[:, f:l] >= 0).sum(axis=1)
+            if args.minPerInd and int(ind_called.min()) < args.minPerInd:
                 is_good = False
             else:
                 ctx = popgen.DistStatsContext(mism[w:w + 1], shar[w:w + 1])
@@ -137,13 +160,21 @@ def main(argv=None) -> int:
             s_ = writers.dist_mat_phylip_string(dist_out, samples, args.roundTo)
         else:
             s_ = writers.dist_mat_string(dist_out, args.roundTo) + "\n"
-        outs["main"].write(s_)
-        if "windows" in outs:
+        scaf = scaffold_name(batch, plan, w)
+        if mh_main is not None:
+            mh_main.write_row(scaf, s_)
+        else:
+            outs["main"].write(s_)
+        if args.windowDataOutFile:
             row = [] if not args.addWindowID else [plan.ids[w]]
-            row += [scaffold_name(batch, plan, w),
+            row += [scaf,
                     int(plan.start[w]), int(plan.end[w]),
                     writers.fmt_int_or_nan(mid[w]), int(sites[w])]
-            outs["windows"].write("\t".join(str(x) for x in row) + "\n")
+            text = "\t".join(str(x) for x in row) + "\n"
+            if mh_meta is not None:
+                mh_meta.write_row(scaf, text)
+            else:
+                outs["windows"].write(text)
         return 1
 
     def batch_alleles(batch):
@@ -162,10 +193,67 @@ def main(argv=None) -> int:
             data.scaffold_ids, data.scaffold_names,
             include=common.read_scaffold_list(args.include),
             exclude=common.read_scaffold_list(args.exclude))
+        if shard_pred is not None:
+            owned = np.array([shard_pred(n) for n in data.scaffold_names],
+                             dtype=bool)
+            keep &= owned[data.scaffold_ids]
         if not keep.all():
             data.alleles = data.alleles[:, keep]
             data.positions = data.positions[keep]
             data.scaffold_ids = data.scaffold_ids[keep]
+        if n_procs > 1:
+            # genome-wide accumulator merge: each host counts its scaffolds,
+            # the [H,H] mismatch/shared matrices + per-haplotype called
+            # counts + site total sum across hosts with one collective
+            assert not args.windowDataOutFile, \
+                "--windowDataOutFile is not supported for multi-host cat " \
+                "mode (window metadata is host-local)"
+            H = model.n_rows
+            if data.n_sites:
+                m0, s0 = pair_k.long_span_pair_counts(data.alleles, 0,
+                                                      data.n_sites)
+            else:
+                m0 = np.zeros((H, H), np.int64)
+                s0 = np.zeros((H, H), np.int64)
+            called = (data.alleles >= 0).sum(axis=1).astype(np.int64)
+            packed = np.concatenate(
+                [m0.astype(np.int64).ravel(), s0.astype(np.int64).ravel(),
+                 called, [np.int64(data.n_sites)]])
+            merged = multihost.collective_reduce(packed, "sum")
+            if multihost.process_index() != 0:
+                progress.close()
+                return 0
+            m0 = merged[:H * H].reshape(H, H)
+            s0 = merged[H * H:2 * H * H].reshape(H, H)
+            called = merged[2 * H * H:2 * H * H + H]
+            total_sites = int(merged[-1])
+            dist_out = np.full((n_ind, n_ind), np.nan)
+            is_good = total_sites >= min_sites and not (
+                args.minPerInd and int(called.min()) < args.minPerInd)
+            if is_good:
+                ctx = popgen.DistStatsContext(m0[None], s0[None])
+                pd = popgen.ind_pair_dists(
+                    ctx, model.sample_names, model.sample_rows,
+                    include_same_with_same=args.includeSameWithSame)
+                for i in range(n_ind):
+                    for j in range(i, n_ind):
+                        v = pd[samples[i]][samples[j]][0]
+                        dist_out[i, j] = dist_out[j, i] = v
+            if is_good or args.writeFailedWindows:
+                if args.outFormat == "nexus":
+                    s_ = writers.dist_mat_nexus_string(dist_out, samples,
+                                                       args.roundTo)
+                elif args.outFormat == "phylip":
+                    s_ = writers.dist_mat_phylip_string(dist_out, samples,
+                                                        args.roundTo)
+                else:
+                    s_ = writers.dist_mat_string(dist_out, args.roundTo) + "\n"
+                out0 = writers.open_out(args.outFile)
+                out0.write(s_)
+                if args.outFile:
+                    out0.close()
+            progress.close()
+            return 0
         plan = common.build_plan(wind, data.scaffold_ids, data.positions,
                                  data.scaffold_names)
         m0, s0 = pair_k.long_span_pair_counts(data.alleles, 0, data.n_sites)
@@ -198,10 +286,23 @@ def main(argv=None) -> int:
                 reader, wind,
                 include=common.read_scaffold_list(args.include),
                 exclude=common.read_scaffold_list(args.exclude),
-                progress=progress),
+                progress=progress, scaffold_pred=shard_pred),
             dispatch, finalize,
             skip=lambda b: b.plan.n_windows == 0)
 
+    if mh_main is not None:
+        rank0 = multihost.process_index() == 0
+        out0 = writers.open_out(args.outFile) if rank0 else None
+        mh_main.finish(out0, "", reader.scaffold_names)
+        if args.outFile and out0 is not None:
+            out0.close()
+        if mh_meta is not None:
+            outm = writers.open_out(args.windowDataOutFile) if rank0 else None
+            mh_meta.finish(outm, winmeta_head, reader.scaffold_names)
+            if outm is not None and outm is not sys.stdout:
+                outm.close()
+        progress.close()
+        return 0
     for o in outs.values():
         if o is not sys.stdout:
             o.close()

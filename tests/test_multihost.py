@@ -175,6 +175,31 @@ def test_two_process_filter_genotypes(tmp_path):
                      "-o", out])
 
 
+def test_two_process_dist_mat_windowed(tmp_path):
+    """Scaffold-sharded windowed distMat: matrices + window metadata files
+    both byte-identical to a 1-process run."""
+    def args_for(out):
+        return ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
+                "--windType", "coordinate", "-w", "50000", "-m", "10",
+                "--outFormat", "phylip",
+                "--windowDataOutFile", out + ".meta",
+                "--writeFailedWindows", "-o", out]
+    _run_cli_dist(tmp_path, "genomics_general_tpu.cli.dist_mat", args_for)
+    single = (tmp_path / "single.csv.meta").read_bytes()
+    dist = (tmp_path / "dist.csv.meta").read_bytes()
+    assert single and single == dist
+
+
+def test_two_process_dist_mat_cat(tmp_path):
+    """cat mode: per-host [H,H] pair-count accumulators merge with a sum
+    collective; the genome-wide matrix matches the 1-process run."""
+    _run_cli_dist(
+        tmp_path, "genomics_general_tpu.cli.dist_mat",
+        lambda out: ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
+                     "--windType", "cat", "--outFormat", "phylip",
+                     "-o", out])
+
+
 def test_two_process_sfs_psum(tmp_path):
     """Scaffold-sharded sfs: per-host dense spectra merged with device
     collectives (sum counts / min first-occurrence keys); 2-process spectra
