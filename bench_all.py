@@ -126,7 +126,7 @@ def config_cmds(geno, pops, wc, out_dir):
         "abba": [(
             "genomics_general_tpu.cli.abba_windows",
             ["-g", g, "-f", "phased", "--windType", "sites", "-w", "100",
-             "-m", "50", "--minData", "0.5", *ABBA_POPS(pops),
+             "-m", "10", "--minData", "0.5", *ABBA_POPS(pops),
              "-o", o("abba.csv")],
             "ABBABABAwindows.py", None)],
         "freqsfs": [(
@@ -165,11 +165,40 @@ def run_engine_step(module, args):
     return time.perf_counter() - t0
 
 
+_REF_SHIM = None
+
+
+def _ref_shim() -> str:
+    """Wrapper that restores np.NaN (removed in numpy 2; several reference
+    scripts crash a worker on it and then hang in their poll shutdown) —
+    the same shim tests/gen_golden.sh uses."""
+    global _REF_SHIM
+    if _REF_SHIM is None:
+        CACHE.mkdir(exist_ok=True)
+        p = CACHE / "ref_shim.py"
+        p.write_text(
+            "import os, runpy, sys\n"
+            "import numpy\n"
+            "numpy.NaN = numpy.nan\n"
+            "script = sys.argv.pop(1)\n"
+            "sys.argv[0] = script\n"
+            "sys.path.insert(0, os.path.dirname(script))\n"
+            "runpy.run_path(script, run_name='__main__')\n")
+        _REF_SHIM = str(p)
+    return _REF_SHIM
+
+
 def run_ref_step(script, args):
     env = dict(os.environ, PYTHONHASHSEED="0")
     t0 = time.perf_counter()
-    r = subprocess.run([sys.executable, f"{REF_PATH}/{script}", *args],
-                       capture_output=True, env=env, timeout=1800)
+    try:
+        r = subprocess.run(
+            [sys.executable, _ref_shim(), f"{REF_PATH}/{script}", *args],
+            capture_output=True, env=env, timeout=420)
+    except subprocess.TimeoutExpired:
+        # a hung reference run (dead worker + poll shutdown) should not
+        # burn the whole sweep
+        return None
     dt = time.perf_counter() - t0
     return dt if r.returncode == 0 else None
 
@@ -216,6 +245,7 @@ def main():
                 d = run_ref_step(script, rargs)
                 if d is None:
                     ok = False
+                    have_ref = False     # hung/failed once: stop retrying
                     break
                 dt += d
             if ok:

@@ -77,6 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from ..parallel import multihost
+    multihost.maybe_initialize()     # must precede any XLA backend touch
     args = build_parser().parse_args(argv)
     wind = common.resolve_window_args(args)
     min_sites = wind["minSites"]
@@ -107,12 +109,26 @@ def main(argv=None) -> int:
     reader = geno_io.GenoReader(args.genoFile, sample_data=sd,
                                 geno_format="haplo", header=args.header)
 
-    out = writers.open_out(args.outFile)
     head = ["scaffold", "start", "end", "mid", "sites"]
     if args.addWindowID:
         head = ["windowID"] + head
-    out.write("\t".join(head) + "\t")
-    out.write("\t".join(all_inds) + "\n")
+    header_line = "\t".join(head) + "\t" + "\t".join(all_inds) + "\n"
+    n_procs = multihost.process_count()
+    if n_procs > 1:
+        # scaffold-sharded painting (same pattern as popgen/abba/dist_mat)
+        assert not args.addWindowID, \
+            "--addWindowID numbering is per-host in sharded runs"
+        assert wind["windType"] != "predefined", \
+            "predefined window lists are not supported in multi-host " \
+            "distPaint runs (absent-scaffold rows have no owner)"
+        shard_pred = multihost.shard_predicate(n_procs,
+                                               multihost.process_index())
+        mh_writer = multihost.MultiHostWriter()
+        out = None
+    else:
+        shard_pred, mh_writer = None, None
+        out = writers.open_out(args.outFile)
+        out.write(header_line)
 
     n_ind = len(all_inds)
 
@@ -150,11 +166,16 @@ def main(argv=None) -> int:
                     start = int(batch.positions[f])
                     end = int(batch.positions[l - 1])
                 row = [] if not args.addWindowID else [plan.ids[w]]
-                row += [batch.scaffold_names[int(plan.scaffold_id[w])],
-                        start, end,
+                scaf = batch.scaffold_names[int(plan.scaffold_id[w])] \
+                    if plan.scaffold_id[w] >= 0 else "None"
+                row += [scaf, start, end,
                         writers.fmt_int_or_nan(mid[w]), int(sites[w])]
                 row += best_match
-                out.write("\t".join(str(x) for x in row) + "\n")
+                text = "\t".join(str(x) for x in row) + "\n"
+                if mh_writer is not None:
+                    mh_writer.write_row(scaf, text)
+                else:
+                    out.write(text)
 
     # stream flush batches (O(flush) memory; the old path materialized the
     # genome like the reference's whole-file read, distPaint.py)
@@ -169,10 +190,18 @@ def main(argv=None) -> int:
         engine.stream_windows(
             reader, wind,
             include=common.read_scaffold_list(args.include),
-            exclude=common.read_scaffold_list(args.exclude)),
+            exclude=common.read_scaffold_list(args.exclude),
+            scaffold_pred=shard_pred),
         dispatch, finalize,
         skip=lambda b: b.plan.n_windows == 0)
 
+    if mh_writer is not None:
+        out0 = writers.open_out(args.outFile) \
+            if multihost.process_index() == 0 else None
+        mh_writer.finish(out0, header_line, reader.scaffold_names)
+        if out0 is not None and out0 is not sys.stdout:
+            out0.close()
+        return 0
     if out is not sys.stdout:
         out.close()
     return 0

@@ -134,6 +134,8 @@ def nj_window_tree(alleles: np.ndarray, names, correct=False) -> str:
 
 
 def main(argv=None) -> int:
+    from ..parallel import multihost
+    multihost.maybe_initialize()     # must precede any XLA backend touch
     p = argparse.ArgumentParser(prog="phyml_sliding_windows")
     p.add_argument("--windType", action="store",
                    choices=("sites", "coordinate", "predefined"),
@@ -220,14 +222,36 @@ def main(argv=None) -> int:
     non_out_rows = np.array([i for i, s in enumerate(row_samples)
                              if s not in outgroup], dtype=np.int64)
 
-    data_file = open(args.prefix + ".data.tsv", "wt")
     heads = ["scaffold", "start", "end", "mid", "sites", "lnL"]
     if args.crossVal:
         heads.append("cv_lnL")
-    data_file.write("\t".join(heads) + "\n")
-    trees_file = gzip.open(args.prefix + ".trees.gz", "wt")
-    bs_files = [gzip.open(f"{args.prefix}.BS{b}.trees.gz", "wt")
-                for b in range(args.bootstraps)]
+    n_procs = multihost.process_count()
+    if n_procs > 1:
+        # scaffold-sharded tree inference: each host runs phyml/NJ on the
+        # windows of the scaffolds it owns; rows for every output file
+        # gather to host-0 writers (all files share the same per-scaffold
+        # ordering, so data/tree line alignment is preserved).  Bootstrap
+        # column resampling draws come from each host's own seeded stream,
+        # so bootstrap trees differ from a single-host run (the point
+        # estimates and data rows are identical).
+        assert not args.test, "--test stops after a global window count " \
+            "and is not supported in multi-host runs"
+        shard_pred = multihost.shard_predicate(n_procs,
+                                               multihost.process_index())
+        mh_data = multihost.MultiHostWriter()
+        mh_trees = multihost.MultiHostWriter()
+        mh_bs = [multihost.MultiHostWriter() for _ in range(args.bootstraps)]
+        data_file = trees_file = None
+        bs_files = [None] * args.bootstraps
+    else:
+        shard_pred = None
+        mh_data = mh_trees = None
+        mh_bs = []
+        data_file = open(args.prefix + ".data.tsv", "wt")
+        data_file.write("\t".join(heads) + "\n")
+        trees_file = gzip.open(args.prefix + ".trees.gz", "wt")
+        bs_files = [gzip.open(f"{args.prefix}.BS{b}.trees.gz", "wt")
+                    for b in range(args.bootstraps)]
 
     use_builtin = args.phyml == "builtin-nj"
     tmp_dir = None
@@ -242,7 +266,8 @@ def main(argv=None) -> int:
     # phyml_sliding_windows.py:414-417; here the flush batch IS the bound)
     from .. import engine
     for batch in engine.stream_windows(reader, wind, include=include,
-                                       exclude=exclude):
+                                       exclude=exclude,
+                                       scaffold_pred=shard_pred):
         if stop:
             break
         plan = batch.plan
@@ -309,15 +334,41 @@ def main(argv=None) -> int:
             row = [scaf, str(start), str(end), mid, str(n_sites), str(lnl)]
             if args.crossVal:
                 row.append(str(cvlnl))
-            data_file.write("\t".join(row) + "\n")
-            trees_file.write(trees[0] + "\n")
-            for b, bf in enumerate(bs_files):
-                bf.write(trees[1 + b] + "\n")
+            if mh_data is not None:
+                mh_data.write_row(scaf, "\t".join(row) + "\n")
+                mh_trees.write_row(scaf, trees[0] + "\n")
+                for b, mw in enumerate(mh_bs):
+                    mw.write_row(scaf, trees[1 + b] + "\n")
+            else:
+                data_file.write("\t".join(row) + "\n")
+                trees_file.write(trees[0] + "\n")
+                for b, bf in enumerate(bs_files):
+                    bf.write(trees[1 + b] + "\n")
             windows_done += 1
             if args.test and windows_done == 10:
                 stop = True
                 break
 
+    if mh_data is not None:
+        rank0 = multihost.process_index() == 0
+        df = open(args.prefix + ".data.tsv", "wt") if rank0 else None
+        mh_data.finish(df, "\t".join(heads) + "\n", reader.scaffold_names)
+        if df is not None:
+            df.close()
+        tf = gzip.open(args.prefix + ".trees.gz", "wt") if rank0 else None
+        mh_trees.finish(tf, "", reader.scaffold_names)
+        if tf is not None:
+            tf.close()
+        for b, mw in enumerate(mh_bs):
+            bf = gzip.open(f"{args.prefix}.BS{b}.trees.gz", "wt") \
+                if rank0 else None
+            mw.finish(bf, "", reader.scaffold_names)
+            if bf is not None:
+                bf.close()
+        if tmp_dir and not args.test:
+            os.rmdir(tmp_dir)
+        sys.stderr.write(f"{windows_done} windows were tested.\n")
+        return 0
     data_file.close()
     trees_file.close()
     for bf in bs_files:

@@ -200,6 +200,59 @@ def test_two_process_dist_mat_cat(tmp_path):
                      "-o", out])
 
 
+def test_two_process_dist_paint(tmp_path):
+    """Scaffold-sharded ancestry painting: 2-process output byte-identical
+    to 1-process (ranksum mode)."""
+    _run_cli_dist(
+        tmp_path, "genomics_general_tpu.cli.dist_paint",
+        lambda out: ["-g", str(D / "sim_paint.geno.gz"),
+                     "-w", "50000", "-s", "25000", "-m", "50",
+                     "-p", "pop1", "-p", "pop2", "-p", "pop3",
+                     "--popsFile", str(D / "sim_paint.pops.txt"),
+                     "--writeFailedWindows", "-o", out])
+
+
+def test_two_process_phyml_nj(tmp_path):
+    """Scaffold-sharded sliding-window tree inference (builtin NJ backend):
+    data.tsv and trees.gz both match the 1-process run."""
+    def run(prefix, extra_env):
+        r = subprocess.run(
+            [sys.executable, "-m",
+             "genomics_general_tpu.cli.phyml_sliding_windows",
+             "-g", str(D / "sim1.geno.gz"), "--windType", "coordinate",
+             "-w", "50000", "-M", "10", "--phyml", "builtin-nj",
+             "-p", prefix],
+            env=_clean_env(extra_env), capture_output=True, timeout=600)
+        return r
+
+    single = str(tmp_path / "single")
+    r = run(single, {})
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    dist = str(tmp_path / "dist")
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, "-m",
+         "genomics_general_tpu.cli.phyml_sliding_windows",
+         "-g", str(D / "sim1.geno.gz"), "--windType", "coordinate",
+         "-w", "50000", "-M", "10", "--phyml", "builtin-nj",
+         "-p", dist],
+        env=_clean_env({"GGT_COORDINATOR": f"127.0.0.1:{port}",
+                        "GGT_NUM_PROCS": "2", "GGT_PROC_ID": str(pid)}),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE) for pid in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    import gzip as _gzip
+    assert Path(single + ".data.tsv").read_bytes() == \
+        Path(dist + ".data.tsv").read_bytes()
+    with _gzip.open(single + ".trees.gz") as a, \
+            _gzip.open(dist + ".trees.gz") as b:
+        sa, sb = a.read(), b.read()
+    assert sa and sa == sb
+
+
 def test_two_process_sfs_psum(tmp_path):
     """Scaffold-sharded sfs: per-host dense spectra merged with device
     collectives (sum counts / min first-occurrence keys); 2-process spectra
