@@ -161,18 +161,50 @@ def main(argv=None) -> int:
     # window_pair_block_stats_dispatch).  Analyses that need the full [W,H,H]
     # matrices on host (indPairDist/indHet/hapStats) or the counts kernel
     # (popFreq/WC) use the general path.
+    fast_dist = ("popDist", "popPairDist", "indPairDist", "indHet")
     use_blocks = (need_dist and mesh is None
                   and not (need_freq or need_wc)
-                  and all(a in ("popDist", "popPairDist") for a in analysis)
+                  and all(a in fast_dist for a in analysis)
                   and os.environ.get("GGT_HOST_DIST_FINALIZE") != "1")
+    # per-individual block granularity when individual-level stats are on:
+    # pop blocks are exact sums of individual blocks, and each individual's
+    # raw own-pair counts ride along for the sampleHet guard
+    blocks_ind = use_blocks and bool(
+        {"indPairDist", "indHet"} & set(analysis))
     if use_blocks:
         dist_groups_arr = np.array(
             ["" if g is None else g for g in model.row_group])
         dist_pops = [str(p) for p in np.unique(dist_groups_arr)]
-        dist_mask = np.zeros((len(dist_pops), model.n_rows), dtype=np.float64)
-        for gi, g in enumerate(dist_pops):
-            dist_mask[gi, dist_groups_arr == g] = 1.0
-        dist_sizes = [int(dist_mask[gi].sum()) for gi in range(len(dist_pops))]
+        dist_sizes = [int((dist_groups_arr == g).sum()) for g in dist_pops]
+        # min_sites mutates the shared distance context only when the
+        # wrapper's popDist/popPairDist step runs first (popgenWindows.py:
+        # 51-64); individual-stat-only runs see the unmutated matrix
+        ms_gate = min_sites if ("popDist" in analysis
+                                or "popPairDist" in analysis) else 0
+        if blocks_ind:
+            ind_names_sorted = model.sample_names
+            n_i = len(ind_names_sorted)
+            ind_mask = np.zeros((n_i, model.n_rows), dtype=np.float64)
+            het_rows = np.zeros((2, n_i), dtype=np.int32)
+            diploid = np.zeros(n_i, dtype=bool)
+            for k, rows in enumerate(model.sample_rows):
+                ind_mask[k, rows] = 1.0
+                if rows.size == 2:
+                    diploid[k] = True
+                    het_rows[0, k], het_rows[1, k] = int(rows[0]), int(rows[1])
+            # individual -> pop aggregation one-hot [P, I]
+            ind_group = np.array(
+                ["" if model.row_group[int(r[0])] is None
+                 else model.row_group[int(r[0])]
+                 for r in model.sample_rows])
+            pop_agg = np.zeros((len(dist_pops), n_i), dtype=np.float64)
+            for gi, g in enumerate(dist_pops):
+                pop_agg[gi, ind_group == g] = 1.0
+        else:
+            dist_mask = np.zeros((len(dist_pops), model.n_rows),
+                                 dtype=np.float64)
+            for gi, g in enumerate(dist_pops):
+                dist_mask[gi, dist_groups_arr == g] = 1.0
 
     # popFreq: one combined mask over the row groups (incl. ungrouped rows)
     if need_freq or need_wc:
@@ -201,7 +233,12 @@ def main(argv=None) -> int:
             both = need_dist and (need_freq or need_wc) and span.shape[1]
             dev = transfer.upload_span(span, mesh=mesh) if both else None
         with timer.stage("kernel"):
-            if use_blocks:
+            if use_blocks and blocks_ind:
+                handles["indblocks"] = pair_k.window_pair_ind_blocks_dispatch(
+                    span, plan.first.astype(np.int32),
+                    plan.n_sites.astype(np.int32), ind_mask, het_rows,
+                    ms_gate)
+            elif use_blocks:
                 handles["pairblocks"] = pair_k.window_pair_block_stats_dispatch(
                     span, plan.first.astype(np.int32),
                     plan.n_sites.astype(np.int32), dist_mask, min_sites)
@@ -224,7 +261,31 @@ def main(argv=None) -> int:
         mid = plan.mid(batch.positions)
         values: dict[str, np.ndarray] = {}
 
-        if use_blocks:
+        if use_blocks and blocks_ind:
+            with timer.stage("d2h"):
+                isums, icnts, het_m, het_s = handles["indblocks"].collect()
+            with timer.stage("finalize"):
+                if "popDist" in analysis or "popPairDist" in analysis:
+                    psums = np.einsum("pi,wij,qj->wpq", pop_agg, isums,
+                                      pop_agg)
+                    pcnts = np.einsum("pi,wij,qj->wpq", pop_agg, icnts,
+                                      pop_agg)
+                    values.update(popgen.group_dist_stats_from_blocks(
+                        psums, pcnts, dist_pops, dist_sizes,
+                        do_pairs="popPairDist" in analysis,
+                        min_data=args.minData))
+                if "indPairDist" in analysis:
+                    pd = popgen.ind_pair_dists_from_blocks(
+                        isums, icnts, ind_names_sorted)
+                    for i, j in itertools.combinations_with_replacement(
+                            sorted(pd.keys()), 2):
+                        values["_".join(["d", i, j])] = pd[i][j]
+                if "indHet" in analysis:
+                    het = popgen.sample_het_from_pairs(
+                        het_m, het_s, ind_names_sorted, diploid, ms_gate)
+                    for key, v in het.items():
+                        values["het_" + key] = v
+        elif use_blocks:
             with timer.stage("d2h"):
                 bsums, bcnts = handles["pairblocks"].collect()
             with timer.stage("finalize"):

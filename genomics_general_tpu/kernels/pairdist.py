@@ -212,7 +212,8 @@ def _exception_patch(m, s, ex_w, ex_codes, wp):
     "sp", "h", "wp", "s_max", "chunk", "ep", "mode"))
 def _fused_flush_pair_v2(buf: jnp.ndarray, pop_mask: jnp.ndarray,
                          min_sites: jnp.ndarray, sp: int, h: int, wp: int,
-                         s_max: int, chunk: int, ep: int, mode: str):
+                         s_max: int, chunk: int, ep: int, mode: str,
+                         het_rows: jnp.ndarray | None = None):
     """Wire-v2 single-transfer flush kernel.
 
     ``buf`` is the :func:`~genomics_general_tpu.kernels.transfer.pack_pair_wire`
@@ -258,7 +259,15 @@ def _fused_flush_pair_v2(buf: jnp.ndarray, pop_mask: jnp.ndarray,
     pm = pop_mask.astype(jnp.float64)
     sums = jnp.einsum("whg,ph,qg->wpq", d0, pm, pm)
     cnts = jnp.einsum("whg,ph,qg->wpq", vf, pm, pm)
-    return jnp.stack([sums, cnts], axis=1)                # [wp, 2, P, P]
+    blocks = jnp.stack([sums, cnts], axis=1)              # [wp, 2, P, P]
+    if mode == "blocks_het":
+        # raw (mismatch, shared) for each individual's own haplotype pair —
+        # the host needs the untouched shared count to replicate sampleHet's
+        # bitwise-guard quirk (genomics.py:924)
+        r1, r2 = het_rows[0], het_rows[1]
+        het = jnp.stack([m[:, r1, r2], s[:, r1, r2]], axis=-1)  # [wp, I, 2]
+        return blocks, het
+    return blocks
 
 
 @functools.partial(jax.jit,
@@ -371,6 +380,55 @@ def window_pair_block_stats_dispatch(alleles: np.ndarray, first: np.ndarray,
             jax.device_put(buf), jnp.asarray(pop_mask.astype(np.float64)),
             jnp.int32(min_sites or 0), Sp, H, wp, s_max, chunk, ep, "blocks")
     handle.pending.append((np.arange(W), W, out))
+    return handle
+
+
+class PairBlocksHetHandle:
+    """In-flight (blocks, het) results of the ``blocks_het`` fused mode.
+
+    ``collect()`` -> (sums f64 [W, I, I], cnts f64 [W, I, I],
+    het_m int32 [W, I], het_s int32 [W, I]) where I = individuals; blocks
+    are per-individual-pair (pop blocks are exact aggregations of them)."""
+
+    def __init__(self, W: int, pending: list):
+        self.W, self.pending = W, pending
+
+    def collect(self):
+        blocks, het = self.pending[0]
+        blocks = np.asarray(blocks)[:self.W]
+        het = np.asarray(het)[:self.W]
+        self.pending = []
+        return (blocks[:, 0], blocks[:, 1],
+                het[..., 0], het[..., 1])
+
+
+def window_pair_ind_blocks_dispatch(alleles: np.ndarray, first: np.ndarray,
+                                    n_sites: np.ndarray,
+                                    ind_mask: np.ndarray,
+                                    het_rows: np.ndarray,
+                                    min_sites: int) -> PairBlocksHetHandle:
+    """Fused popDist/popPairDist/indPairDist/indHet path: per-INDIVIDUAL
+    block sums/counts plus each individual's own-pair raw (mismatch, shared)
+    come back in one transfer.  Pop-level blocks are derived on host by
+    summing individual blocks (exact — sums are additive), so this one
+    kernel serves the whole distance-stat family without ever fetching
+    [W, H, H] matrices.
+
+    ``ind_mask``: float [I, H] row membership per individual;
+    ``het_rows``: int32 [2, I] the two haplotype rows of each individual
+    (any pair for non-diploids — the host overwrites their het with NaN).
+    """
+    W = first.shape[0]
+    handle = PairBlocksHetHandle(W, [])
+    if W == 0:
+        return handle
+    buf, Sp, H, wp, s_max, chunk, ep = _v2_flush_args(alleles, first, n_sites)
+    with jax.enable_x64():
+        out = _fused_flush_pair_v2(
+            jax.device_put(buf), jnp.asarray(ind_mask.astype(np.float64)),
+            jnp.int32(min_sites or 0), Sp, H, wp, s_max, chunk, ep,
+            "blocks_het", het_rows=jnp.asarray(het_rows, dtype=jnp.int32))
+    handle.pending.append(out)
     return handle
 
 

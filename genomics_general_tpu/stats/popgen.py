@@ -203,6 +203,45 @@ def ind_pair_dists(ctx: DistStatsContext, sample_names: list[str],
     return out
 
 
+def ind_pair_dists_from_blocks(sums: np.ndarray, cnts: np.ndarray,
+                               sample_names: list[str]) -> dict:
+    """indPairDists (genomics.py:934-954) from device-reduced per-individual
+    block sums: nanmean of the haplotype block == valid-pair sum / count
+    (0/0 -> NaN), with the diagonal-NaN / minSites mutations already baked
+    into the device valid gate exactly as the shared-context path bakes them
+    into the cached matrix."""
+    out: dict = {n: {} for n in sample_names}
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for i, ni in enumerate(sample_names):
+            for j, nj in enumerate(sample_names):
+                out[ni][nj] = sums[:, i, j] / cnts[:, i, j]
+    return out
+
+
+def sample_het_from_pairs(het_m: np.ndarray, het_s: np.ndarray,
+                          sample_names: list[str], diploid: np.ndarray,
+                          min_sites_mutation: int) -> dict:
+    """sampleHet (genomics.py:918-929) from each individual's raw own-pair
+    (mismatch, shared) counts, including the operator-precedence bug guard.
+
+    ``min_sites_mutation``: the minSites that group_dist_stats applied to
+    the shared context before sampleHet ran (0 when popDist/popPairDist is
+    not in the analysis list, mirroring the wrapper's call order,
+    popgenWindows.py:51-64)."""
+    W = het_m.shape[0]
+    out = {}
+    with np.errstate(invalid="ignore", divide="ignore"):
+        d = het_m.astype(np.float64) / het_s.astype(np.float64)
+    if min_sites_mutation:
+        d[het_s < min_sites_mutation] = np.nan
+    c2 = 2 & het_s.astype(np.int64)
+    ok = (c2 == 2) & (c2 >= 1)                       # the buggy guard
+    vals = np.where(ok, d, np.nan)
+    for i, name in enumerate(sample_names):
+        out[name] = vals[:, i] if diploid[i] else np.full(W, np.nan)
+    return out
+
+
 def cluster_sizes(dist_block: np.ndarray, max_dist: float) -> list[int]:
     """Greedy haplotype clustering (genomics.py:1239-1261)."""
     with np.errstate(invalid="ignore"):

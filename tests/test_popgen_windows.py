@@ -67,3 +67,39 @@ def test_diplo_format(tmp_path):
                   "--popsFile", str(D / "sim_diplo.pops.txt"),
                   "--analysis", "popDist", "popPairDist", "-o", str(out)])
     assert_csv_equal(G / "popgen_diplo.csv", out)
+
+
+@pytest.mark.golden
+def test_ind_blocks_fast_path_equals_host_path(tmp_path):
+    """The fused per-individual blocks path (popDist/popPairDist/indHet/
+    indPairDist without popFreq/hapStats) must be byte-identical to the
+    general host-finalize path (which is itself golden-validated)."""
+    args = ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
+            "-w", "50000", "-s", "25000", "-m", "100", "--minData", "0.3",
+            *POPS,
+            "--analysis", "popDist", "popPairDist", "indPairDist", "indHet",
+            "--writeFailedWindows"]
+    fast = tmp_path / "fast.csv"
+    run_cli(MOD, args + ["-o", str(fast)])
+    host = tmp_path / "host.csv"
+    run_cli(MOD, args + ["-o", str(host)],
+            env_extra={"GGT_HOST_DIST_FINALIZE": "1"})
+    assert fast.read_bytes() == host.read_bytes()
+
+
+@pytest.mark.golden
+@pytest.mark.parametrize("analysis", [["indHet"], ["indPairDist"],
+                                      ["indHet", "indPairDist"]])
+def test_ind_blocks_subsets_equal_host_path(tmp_path, analysis):
+    """Individual-stat-only runs skip the minSites context mutation (the
+    wrapper only mutates when popDist/popPairDist run first) — both paths
+    must agree on that too."""
+    args = ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
+            "-w", "50000", "-m", "50", *POPS,
+            "--analysis", *analysis, "--writeFailedWindows"]
+    fast = tmp_path / "fast.csv"
+    run_cli(MOD, args + ["-o", str(fast)])
+    host = tmp_path / "host.csv"
+    run_cli(MOD, args + ["-o", str(host)],
+            env_extra={"GGT_HOST_DIST_FINALIZE": "1"})
+    assert fast.read_bytes() == host.read_bytes()
