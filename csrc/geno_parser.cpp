@@ -283,6 +283,94 @@ int64_t pack_pair_planes(
   return n_ex;
 }
 
+// Numeric name-table tokenizer: lines of
+//   name SEP number (SEP number)*
+// with SEP in {tab, space, comma} and a fixed count of numbers per line.
+// Numbers are [-]digits[.digits] or nan/NaN (no exponents; any other token
+// aborts with the line's byte offset so Python can fall back).  Used for
+// the freq->sfs baseCounts/targetCounts tables and windowStats columns,
+// where per-line Python parsing dominates genome-scale runs.
+//
+// Outputs mirror parse_geno_chunk: values double[cap * n_vals], positions
+// of name runs as (line, name_off, name_len) triples.
+int64_t parse_name_table(
+    const uint8_t* buf, int64_t len, int32_t n_vals,
+    double* values, int64_t cap,
+    int64_t* name_breaks, int64_t max_breaks,
+    int64_t* n_breaks_out, int64_t* n_lines_out) {
+  int64_t i = 0, line = 0, n_breaks = 0;
+  const uint8_t* prev_name = nullptr;
+  int64_t prev_name_len = -1;
+  while (i < len) {
+    int64_t line_start = i;
+    if (buf[i] == '#') { while (i < len && buf[i] != '\n') ++i; ++i; continue; }
+    if (buf[i] == '\n' || buf[i] == '\r') { ++i; continue; }
+    if (line >= cap) { *n_lines_out = line; *n_breaks_out = n_breaks; return line_start + 1; }
+    // name field
+    int64_t name_off = i;
+    while (i < len && buf[i] != '\t' && buf[i] != ' ' && buf[i] != '\n') ++i;
+    if (i >= len || buf[i] == '\n') { *n_lines_out = line; *n_breaks_out = n_breaks; return line_start + 1; }
+    int64_t name_len = i - name_off;
+    ++i;
+    if (prev_name_len != name_len ||
+        std::memcmp(buf + name_off, prev_name, (size_t)name_len) != 0) {
+      if (n_breaks >= max_breaks) { *n_lines_out = line; *n_breaks_out = n_breaks; return -1; }
+      name_breaks[3 * n_breaks] = line;
+      name_breaks[3 * n_breaks + 1] = name_off;
+      name_breaks[3 * n_breaks + 2] = name_len;
+      ++n_breaks;
+      prev_name = buf + name_off;
+      prev_name_len = name_len;
+    }
+    double* out = values + line * (int64_t)n_vals;
+    for (int32_t v = 0; v < n_vals; ++v) {
+      while (i < len && (buf[i] == '\t' || buf[i] == ' ' || buf[i] == ','))
+        ++i;
+      if (i >= len || buf[i] == '\n') { *n_lines_out = line; *n_breaks_out = n_breaks; return line_start + 1; }
+      bool neg = false;
+      if (buf[i] == '-') { neg = true; ++i; }
+      if (i < len && (buf[i] == 'n' || buf[i] == 'N')) {
+        if (i + 2 < len && (buf[i+1]=='a'||buf[i+1]=='A')
+            && (buf[i+2]=='n'||buf[i+2]=='N')) {
+          out[v] = 0.0 / 0.0;
+          i += 3;
+          continue;
+        }
+        *n_lines_out = line; *n_breaks_out = n_breaks; return line_start + 1;
+      }
+      int64_t dstart = i;
+      double val = 0.0;
+      while (i < len && buf[i] >= '0' && buf[i] <= '9') {
+        val = val * 10.0 + (buf[i] - '0');
+        ++i;
+      }
+      if (i == dstart) { *n_lines_out = line; *n_breaks_out = n_breaks; return line_start + 1; }
+      if (i < len && buf[i] == '.') {
+        ++i;
+        double scale = 0.1;
+        while (i < len && buf[i] >= '0' && buf[i] <= '9') {
+          val += (buf[i] - '0') * scale;
+          scale *= 0.1;
+          ++i;
+        }
+      }
+      out[v] = neg ? -val : val;
+    }
+    // rest of line must be separators/newline
+    while (i < len && buf[i] != '\n') {
+      if (buf[i] != '\t' && buf[i] != ' ' && buf[i] != '\r' && buf[i] != ',') {
+        *n_lines_out = line; *n_breaks_out = n_breaks; return line_start + 1;
+      }
+      ++i;
+    }
+    ++i;
+    ++line;
+  }
+  *n_lines_out = line;
+  *n_breaks_out = n_breaks;
+  return 0;
+}
+
 // Whole-buffer gzip decompression via libdeflate (2-3x faster than zlib).
 // Handles multi-member gzip streams.  Returns total decompressed bytes, or
 // -1 (output too small) / -2 (corrupt) / -3 (not built with libdeflate).

@@ -219,11 +219,27 @@ def main(argv=None) -> int:
         pos_strs = [str(p) for p in positions.tolist()]
 
         if not args.target:
-            # counts mode: "a,c,g,t" per pop (freq.py:52-60)
-            cols = []
-            for k in range(P):
-                c = counts[:, k, :].astype(str)
-                cols.append([",".join(r) for r in c])
+            # counts mode: "a,c,g,t" per pop (freq.py:52-60).  Formatting is
+            # the hot loop at genome scale: pack the 4 counts into one u32,
+            # format only the unique packings, and fancy-index the strings
+            # back (typically 10-100x fewer formats than sites x pops).
+            c4 = counts[:, :P, :]
+            if c4.size and int(c4.max()) <= 255:
+                packed = (c4[:, :, 0].astype(np.uint32) << 24
+                          | c4[:, :, 1].astype(np.uint32) << 16
+                          | c4[:, :, 2].astype(np.uint32) << 8
+                          | c4[:, :, 3].astype(np.uint32))
+                uniq, inv = np.unique(packed, return_inverse=True)
+                fmt = np.array(
+                    [f"{u >> 24},{(u >> 16) & 255},{(u >> 8) & 255},{u & 255}"
+                     for u in uniq], dtype=object)
+                cmat = fmt[inv.reshape(S, P)]
+                cols = [cmat[:, k] for k in range(P)]
+            else:
+                cols = []
+                for k in range(P):
+                    c = c4[:, k, :].astype(str)
+                    cols.append([",".join(r) for r in c])
             lines = ["\t".join(t) + "\n"
                      for t in zip(scafs, pos_strs, *cols)]
             emit(scaffold_ids, lines)
@@ -266,7 +282,21 @@ def main(argv=None) -> int:
                 rows_out = np.flatnonzero(~np.all(pop_vals == 0, axis=1))
         else:
             rows_out = np.arange(S)
-        vals_str = pop_vals[rows_out].astype(str)
+        sel = pop_vals[rows_out]
+        if sel.dtype.kind == "f" and sel.size:
+            # unique-on-bits: format each distinct float64 once (freqs round
+            # to 4 dp, so there are at most ~10k distinct values); exact,
+            # NaN-safe (single propagated bit pattern)
+            bits = np.ascontiguousarray(sel).view(np.uint64)
+            uq, inv = np.unique(bits, return_inverse=True)
+            fm = np.array([str(x) for x in uq.view(np.float64)], dtype=object)
+            vals_str = fm[inv.reshape(sel.shape)]
+        elif sel.size:
+            lut = np.array([str(i) for i in range(int(sel.max()) + 1)],
+                           dtype=object)
+            vals_str = lut[sel]
+        else:
+            vals_str = sel.astype(str)
         lines = ["\t".join(t) + "\n"
                  for t in zip((scafs[s] for s in rows_out),
                               (pos_strs[s] for s in rows_out),

@@ -67,9 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _read_table_counts(path_or_stdin, header, first_sample_col, parse):
-    """Parse a baseCounts/targetCounts table: returns (scafs, positions,
-    list-of-column-name, per-column list of parsed values)."""
+def _read_table_counts(path_or_stdin, header, first_sample_col, parse,
+                       vals_per_col=None):
+    """Parse a baseCounts/targetCounts table.
+
+    Returns (names, scafs, positions, rows); ``rows`` is either a numeric
+    matrix ([S, n_cols, vals_per_col] float64 for baseCounts, [S, n_cols]
+    int64 for targetCounts) from the C tokenizer — per-line Python parsing
+    dominated genome-scale freq->sfs runs — or the per-line Python list
+    fallback with the same ``rows[s][col]`` indexing."""
     f = geno_io.open_maybe_gz(path_or_stdin, "rb") if isinstance(path_or_stdin, str) \
         else path_or_stdin
     if header is not None:
@@ -77,8 +83,37 @@ def _read_table_counts(path_or_stdin, header, first_sample_col, parse):
     else:
         names = f.readline().split()[first_sample_col:]
         names = [n.decode() if isinstance(n, bytes) else n for n in names]
+
+    if vals_per_col is not None and first_sample_col == 2:
+        data = f.read()
+        if isinstance(data, str):
+            data = data.encode()
+        try:
+            from ..io import native
+            res = native.parse_name_table(
+                data, 1 + len(names) * vals_per_col)
+        except Exception:
+            res = None
+        if res is not None:
+            vals, bnames, bounds = res
+            S = vals.shape[0]
+            positions = vals[:, 0].astype(np.int64)
+            body = vals[:, 1:]
+            if vals_per_col == 1:
+                rows = body.reshape(S, len(names)).astype(np.int64)
+            else:
+                rows = body.reshape(S, len(names), vals_per_col)
+            scafs = np.empty(S, dtype=object)
+            for k in range(len(bnames)):
+                scafs[bounds[k]:bounds[k + 1]] = bnames[k].decode()
+            return names, scafs, positions, rows
+        # fall back to the line loop over the slurped blob
+        lines_iter = data.split(b"\n")
+    else:
+        lines_iter = f
+
     scafs, positions, rows = [], [], []
-    for line in f:
+    for line in lines_iter:
         if not line.strip() or line.startswith(b"#" if isinstance(line, bytes) else "#"):
             continue
         parts = line.split()
@@ -187,12 +222,12 @@ def _run(args, include, exclude, n_intervals):
         reader = geno_io.rebind_reader(probe, sd)
         S = None                         # streamed; never materialized
     else:
-        parse = float if input_type == "baseCounts" else int
         names, scafs, positions_l, rows = _read_table_counts(
             args.inputFile if args.inputFile else sys.stdin.buffer,
             args.header, args.firstSampleCol,
             (lambda x: np.array(str(x if not isinstance(x, bytes) else x.decode()).split(","), dtype=float).astype(int))
-            if input_type == "baseCounts" else (lambda x: int(x)))
+            if input_type == "baseCounts" else (lambda x: int(x)),
+            vals_per_col=4 if input_type == "baseCounts" else 1)
         if pop_names is None:
             pop_names = names
         col_of = {n: i for i, n in enumerate(names)}
@@ -285,12 +320,24 @@ def _run(args, include, exclude, n_intervals):
         # from first-occurrence keys (stats/sfs_accum.py)
         from ..stats.sfs_accum import DenseFS, ScaffoldKeyTracker, \
             vector_targets
-        arrs = np.array([[rows[s][col_of[p]] for p in in_pop_names]
-                         for s in range(S)], dtype=np.int64) \
-            if S else np.zeros((0, len(in_pop_names), 4), np.int64)
+        sel_cols = [col_of[p] for p in in_pop_names]
+        if S and isinstance(rows, np.ndarray):
+            arrs = rows[:, sel_cols, :].astype(np.int64)
+        elif S:
+            arrs = np.array([[rows[s][c] for c in sel_cols]
+                             for s in range(S)], dtype=np.int64)
+        else:
+            arrs = np.zeros((0, len(in_pop_names), 4), np.int64)
         out_col = col_of[outgroup] if outgroup else None
-        out_counts = np.array([np.asarray(rows[s][out_col]) for s in range(S)],
-                              dtype=np.int64) if outgroup and S else None
+        if outgroup and S:
+            if isinstance(rows, np.ndarray):
+                out_counts = rows[:, out_col, :].astype(np.int64)
+            else:
+                out_counts = np.array(
+                    [np.asarray(rows[s][out_col]) for s in range(S)],
+                    dtype=np.int64)
+        else:
+            out_counts = None
         sids = np.zeros(S, dtype=np.int64)
         if S > 1:
             change = scaf_of_site[1:] != scaf_of_site[:-1]

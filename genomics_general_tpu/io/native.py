@@ -74,6 +74,15 @@ def get_lib():
     except AttributeError:
         pass
     try:
+        lib.parse_name_table.restype = ctypes.c_int64
+        lib.parse_name_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.float64, flags="C"), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C"), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+    except AttributeError:
+        pass
+    try:
         lib.pack_pair_planes.restype = ctypes.c_int64
         lib.pack_pair_planes.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -158,6 +167,54 @@ def pack_pair_planes_native(alleles: np.ndarray, called_out: np.ndarray,
 def gzip_decompress_bytes(data: bytes) -> bytes | None:
     arr = gzip_decompress_array(data)
     return arr.tobytes() if arr is not None else None
+
+
+def parse_name_table(blob, n_vals: int):
+    """C tokenizer for name + fixed-count numeric tables (tab/space/comma
+    separated; [-]digits[.digits] or nan).  Returns (values float64
+    [n_lines, n_vals], names list[bytes], bounds int64 [n_runs+1] giving
+    each name run's line span) or None when the native library is missing
+    or the blob does not fit the grammar (caller falls back).
+
+    Integer values are exact; fractional values accumulate digit-by-digit
+    and may differ from strtod in the final ulp — use only where inputs are
+    integers or that tolerance is acceptable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "parse_name_table"):
+        return None
+    if isinstance(blob, np.ndarray):
+        buf_ptr = blob.ctypes.data_as(ctypes.c_void_p)
+        blob_len = blob.size
+        as_bytes = None
+    else:
+        buf_ptr = ctypes.cast(ctypes.c_char_p(blob), ctypes.c_void_p)
+        blob_len = len(blob)
+        as_bytes = blob
+    cap = blob_len // (2 * n_vals + 2) + 2        # minimal line ~2B/value
+    values = np.empty((cap, n_vals), dtype=np.float64)
+    max_breaks = 65536
+    breaks = np.empty(3 * max_breaks, dtype=np.int64)
+    n_breaks = ctypes.c_int64(0)
+    n_lines = ctypes.c_int64(0)
+    ret = lib.parse_name_table(buf_ptr, np.int64(blob_len),
+                               np.int32(n_vals), values, np.int64(cap),
+                               breaks, np.int64(max_breaks),
+                               ctypes.byref(n_breaks), ctypes.byref(n_lines))
+    if ret != 0:
+        return None
+    n = n_lines.value
+    nb = n_breaks.value
+    names = []
+    lines_at = np.empty(nb + 1, dtype=np.int64)
+    for k in range(nb):
+        li, off, ln = breaks[3 * k], breaks[3 * k + 1], breaks[3 * k + 2]
+        lines_at[k] = li
+        if as_bytes is not None:
+            names.append(as_bytes[off:off + ln])
+        else:
+            names.append(blob[off:off + ln].tobytes())
+    lines_at[nb] = n
+    return values[:n], names, lines_at
 
 
 class GzChunkStream:
