@@ -338,22 +338,35 @@ int64_t parse_name_table(
         }
         *n_lines_out = line; *n_breaks_out = n_breaks; return line_start + 1;
       }
+      // exact decimal fast path: integer mantissa / power of ten is
+      // correctly rounded (both operands exact in double for <= 18 digit
+      // mantissas and <= 22 frac digits), so results match strtod/Python
+      // float() bit-for-bit on these simple decimals
+      static const double P10[23] = {
+          1e0, 1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7, 1e8, 1e9, 1e10, 1e11,
+          1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22};
       int64_t dstart = i;
-      double val = 0.0;
+      uint64_t mant = 0;
+      int digits = 0, frac = 0;
       while (i < len && buf[i] >= '0' && buf[i] <= '9') {
-        val = val * 10.0 + (buf[i] - '0');
+        mant = mant * 10 + (uint64_t)(buf[i] - '0');
+        ++digits;
         ++i;
       }
       if (i == dstart) { *n_lines_out = line; *n_breaks_out = n_breaks; return line_start + 1; }
       if (i < len && buf[i] == '.') {
         ++i;
-        double scale = 0.1;
         while (i < len && buf[i] >= '0' && buf[i] <= '9') {
-          val += (buf[i] - '0') * scale;
-          scale *= 0.1;
+          mant = mant * 10 + (uint64_t)(buf[i] - '0');
+          ++digits;
+          ++frac;
           ++i;
         }
       }
+      if (digits > 18 || frac > 22) {  // exactness guarantee gone: bail
+        *n_lines_out = line; *n_breaks_out = n_breaks; return line_start + 1;
+      }
+      double val = (double)mant / P10[frac];
       out[v] = neg ? -val : val;
     }
     // rest of line must be separators/newline

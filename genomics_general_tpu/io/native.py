@@ -176,9 +176,9 @@ def parse_name_table(blob, n_vals: int):
     each name run's line span) or None when the native library is missing
     or the blob does not fit the grammar (caller falls back).
 
-    Integer values are exact; fractional values accumulate digit-by-digit
-    and may differ from strtod in the final ulp — use only where inputs are
-    integers or that tolerance is acceptable."""
+    Values parse exactly as Python float() does (integer mantissa divided
+    by a power of ten is correctly rounded; >18-digit mantissas bail to the
+    fallback), so downstream rounding/formatting is bit-identical."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "parse_name_table"):
         return None

@@ -23,7 +23,7 @@ def read_numeric_table(path_or_file, header_line: str | None = None,
     """
     close = False
     if isinstance(path_or_file, (str, bytes)):
-        f = open_maybe_gz(path_or_file, "rt")
+        f = open_maybe_gz(path_or_file, "rb")
         close = True
     else:
         f = path_or_file
@@ -33,10 +33,41 @@ def read_numeric_table(path_or_file, header_line: str | None = None,
             if isinstance(header_line, bytes):
                 header_line = header_line.decode()
         names = header_line.split()[2:]
+
+        # C tokenizer fast path (exact float parsing; falls back on any
+        # token outside the numeric grammar, e.g. text columns)
+        data = f.read()
+        if isinstance(data, str):
+            data = data.encode()
+        fast = None
+        try:
+            from . import native
+            fast = native.parse_name_table(data, 1 + len(names))
+        except Exception:
+            fast = None
+        if fast is not None:
+            vals, bnames, bounds = fast
+            if columns:
+                idx = [names.index(c) for c in columns]
+                names = list(columns)
+            else:
+                idx = list(range(len(names)))
+            positions = vals[:, 0].astype(np.int64)
+            values = np.ascontiguousarray(vals[:, 1:].T[idx])
+            scaffold_names = []
+            sid_of = {}
+            sids = np.empty(vals.shape[0], np.int32)
+            for k in range(len(bnames)):
+                s = bnames[k].decode()
+                if s not in sid_of:
+                    sid_of[s] = len(scaffold_names)
+                    scaffold_names.append(s)
+                sids[bounds[k]:bounds[k + 1]] = sid_of[s]
+            return scaffold_names, sids, positions, names, values
+
         scafs, poss, rows = [], [], []
-        for line in f:
-            if isinstance(line, bytes):
-                line = line.decode()
+        for line in data.split(b"\n"):
+            line = line.decode()
             if not line.strip() or line[0] == "#":
                 continue
             parts = line.split()
