@@ -17,9 +17,10 @@ Method
 * baseline: the reference popgenWindows.py -T 1 on a subset of the same
   data (sites/s extrapolates; the reference is O(sites) in this regime);
   same interleave.
-* stages: cumulative per-stage wall clock (StageTimer) from the last timed
-  engine run; "other" is the untimed remainder (reader init / decompress
-  lead-in / loop overhead).
+* stages: lane-grouped stage split (StageTimer.split) from the fastest
+  timed engine run.  Stages on different pipeline threads overlap, so the
+  split reports per-lane busy/idle against wall time (idle >= 0 by
+  construction); the bottleneck lane is the one with busy ~= wall.
 
 Config matches BASELINE.json config #1: pi/dxy/Fst, 2 pops, 50 kb coordinate
 windows, phased geno.gz.
@@ -115,7 +116,10 @@ def main():
         orig_report = _eng.StageTimer.report
 
         def report(self, stream=None, extra=""):
-            rec.update(self.t)
+            # lane-grouped split: stages on different threads overlap, so
+            # per-lane busy/idle (non-negative by construction) replaces the
+            # old flat sum whose residual could go negative
+            rec.update(self.split())
         _eng.StageTimer.report = report
         try:
             dt = run_engine(geno, pops, "/tmp/bench_engine.csv", profile=True)
@@ -123,8 +127,7 @@ def main():
             _eng.StageTimer.report = orig_report
         times.append(dt)
         if stages is None or dt <= min(times):
-            stages = {k: round(v, 4) for k, v in rec.items()}
-            stages["other"] = round(dt - sum(rec.values()), 4)
+            stages = dict(rec)
         if have_ref:
             ref_dt = run_reference(sub, pops, "/tmp/bench_ref.csv")
             if ref_dt:

@@ -20,6 +20,7 @@
 // Build: g++ -O3 -shared -fPIC -o libgenoparser.so geno_parser.cpp
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 
@@ -383,6 +384,383 @@ int64_t parse_name_table(
   *n_breaks_out = n_breaks;
   return 0;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Text FORMATTING fast paths.  The engine's genome-scale CLIs are bounded by
+// per-row Python string assembly (freq: ~50M str ops for a 2M-site file;
+// popgenWindows: ~300k round()+str() calls); these emitters produce the exact
+// same bytes in one C pass.
+
+namespace {
+
+// unsigned itoa, returns chars written
+inline int u64toa(uint64_t v, uint8_t* out) {
+  uint8_t tmp[20];
+  int n = 0;
+  do { tmp[n++] = (uint8_t)('0' + v % 10); v /= 10; } while (v);
+  for (int i = 0; i < n; ++i) out[i] = tmp[n - 1 - i];
+  return n;
+}
+
+inline int i64toa(int64_t v, uint8_t* out) {
+  if (v < 0) { out[0] = '-'; return 1 + u64toa((uint64_t)(-v), out + 1); }
+  return u64toa((uint64_t)v, out);
+}
+
+// str(round(np.float64(v), round_to)) exactly (io/writers.fmt_float):
+//  * numpy __round__ = scale, rint (round-half-even on the double product),
+//    unscale -- NOT Python's correctly-rounded decimal round;
+//  * str() of the result z = nearest(r / 10^rt) is the shortest decimal that
+//    round-trips, which for such quotients is "%.{rt}f" with trailing zeros
+//    trimmed (keeping one fractional digit) -- see analysis in the repo's
+//    format tests.  Requires |v|*10^rt < 2^53; caller pre-checks |v| < 1e12.
+// Returns chars written.
+inline int fmt_round_repr(double v, int round_to, double scale, uint8_t* out) {
+  if (v != v) { out[0]='n'; out[1]='a'; out[2]='n'; return 3; }
+  double z = __builtin_nearbyint(v * scale) / scale;
+  int n = snprintf((char*)out, 40, "%.*f", round_to, z);
+  if (n <= 0 || n >= 40) return -1;
+  // trim trailing zeros, keep >= 1 digit after the dot
+  int dot = -1;
+  for (int i = 0; i < n; ++i) if (out[i] == '.') { dot = i; break; }
+  if (dot < 0) return n;                  // inf
+  int end = n;
+  while (end - 1 > dot + 1 && out[end - 1] == '0') --end;
+  return end;
+}
+
+// str(int(v)) if v==v else "nan" (io/writers.fmt_int_or_nan); truncation
+// toward zero like Python int()
+inline int fmt_int_or_nan(double v, uint8_t* out) {
+  if (v != v) { out[0]='n'; out[1]='a'; out[2]='n'; return 3; }
+  return i64toa((int64_t)v, out);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fused per-site pop base counting + row formatting for freq's default
+// counts mode (reference freq.py:52-60: "a,c,g,t" per population per site).
+// Counting here replaces the device round trip: the per-site counts ARE the
+// output, so shipping them over the ~30 MB/s device link costs more than
+// counting in the same pass that formats them.
+//
+// alleles     : int8 [n_rows x row_stride] parsed chunk (column s = site s)
+// pop_rows    : concatenated row indices per population
+// pop_starts  : [n_pops+1] offsets into pop_rows
+// positions   : int64 [n_sites]
+// scaf_*/run_*: per-run scaffold names: run k covers sites
+//               [run_bounds[k], run_bounds[k+1]) and has name bytes
+//               scaf_blob[run_off[k] .. +run_len[k])
+// start_site  : resume point (sites before it are already emitted)
+// out/out_cap : output buffer; the function fills until the next line might
+//               not fit, then returns
+// n_done_out  : total sites emitted AFTER this call (resume cursor)
+// Returns bytes written this call (>= 0), or -1 on malformed run bounds.
+int64_t freq_counts_rows(
+    const int8_t* alleles, int64_t row_stride, int64_t n_sites,
+    const int32_t* pop_rows, const int64_t* pop_starts, int32_t n_pops,
+    const int64_t* positions,
+    const uint8_t* scaf_blob, const int64_t* run_off, const int64_t* run_len,
+    const int64_t* run_bounds, int64_t n_runs,
+    int64_t start_site, uint8_t* out, int64_t out_cap,
+    int64_t* n_done_out) {
+  int64_t off = 0;
+  int64_t s = start_site;
+  // find the run containing start_site
+  int64_t r = 0;
+  while (r < n_runs && run_bounds[r + 1] <= s) ++r;
+  for (; r < n_runs; ++r) {
+    const uint8_t* name = scaf_blob + run_off[r];
+    int64_t nlen = run_len[r];
+    int64_t rend = run_bounds[r + 1];
+    if (rend > n_sites) return -1;
+    // worst line: name + tab + 20-digit pos + pops * 4 * 11 + seps
+    int64_t worst = nlen + 22 + (int64_t)n_pops * 48;
+    for (; s < rend; ++s) {
+      if (off + worst > out_cap) { *n_done_out = s; return off; }
+      memcpy(out + off, name, (size_t)nlen);
+      off += nlen;
+      out[off++] = '\t';
+      off += u64toa((uint64_t)positions[s], out + off);
+      for (int32_t p = 0; p < n_pops; ++p) {
+        uint32_t cnt[4] = {0, 0, 0, 0};
+        const int32_t* rows = pop_rows + pop_starts[p];
+        int64_t nr = pop_starts[p + 1] - pop_starts[p];
+        for (int64_t j = 0; j < nr; ++j) {
+          int8_t c = alleles[(int64_t)rows[j] * row_stride + s];
+          if (c >= 0) ++cnt[c];
+        }
+        out[off++] = '\t';
+        off += u64toa(cnt[0], out + off);
+        out[off++] = ',';
+        off += u64toa(cnt[1], out + off);
+        out[off++] = ',';
+        off += u64toa(cnt[2], out + off);
+        out[off++] = ',';
+        off += u64toa(cnt[3], out + off);
+      }
+      out[off++] = '\n';
+    }
+  }
+  *n_done_out = s;
+  return off;
+}
+
+// Fused baseCounts-table parse + SFS target selection (the engine's
+// freq -> sfs fast path; reference sfs.py:60-85, 464-477).  One pass over
+// the text: per line parses name, position, and n_cols "a,c,g,t" integer
+// fields, then computes the per-ingroup-pop target-allele counts:
+//   * polarized (out_col >= 0): target = first allele present in the
+//     ingroup and absent from the outgroup, else first allele absent from
+//     the ingroup; ok gate 1 <= alleles(in|out) <= 2 and exactly one
+//     outgroup allele;
+//   * folded: target = totalCounts.argsort()[-2].  numpy's default argsort
+//     is NOT stable on ties (SIMD dispatch), so lines where the choice is
+//     ambiguous AND affects the output (second-highest total tied with a
+//     distinct nonzero value) are flagged in `ambig`; the caller re-resolves
+//     exactly those lines with np.argsort on the raw counts written to
+//     flag_counts.
+// Any token that is not a plain non-negative integer (nan, sign, decimal
+// point, exponent) aborts with the line's byte offset; counts > 2^31 abort
+// likewise (caller falls back to the float64 table parser).
+//
+// tgt        : out int32 [cap, n_in]
+// ok         : out uint8 [cap]
+// ambig      : out uint8 [cap]
+// flag_counts: out int32 [flag_cap, (n_in+1)*4] raw counts of flagged lines
+//              (ingroup pops then total)
+// flag_idx   : out int64 [flag_cap] line numbers of flagged lines
+// nhap_max   : in/out int32 [n_in] running max of per-pop count sums
+// Returns 0 on success, byte offset+1 of the first bad line, -1 on break
+// overflow, -2 on flag overflow.
+int64_t parse_base_counts_targets(
+    const uint8_t* buf, int64_t len, int32_t n_cols,
+    const int32_t* sel, int32_t n_in, int32_t out_col,
+    int64_t* positions, int32_t* tgt, uint8_t* ok, uint8_t* ambig,
+    int32_t* flag_counts, int64_t* flag_idx, int64_t flag_cap,
+    int32_t* nhap_max, int64_t cap,
+    int64_t* name_breaks, int64_t max_breaks,
+    int64_t* n_breaks_out, int64_t* n_lines_out, int64_t* n_flag_out) {
+  int64_t i = 0, line = 0, n_breaks = 0, n_flag = 0;
+  const uint8_t* prev_name = nullptr;
+  int64_t prev_name_len = -1;
+  // column -> ingroup slot (or -1)
+  int32_t* slot = new int32_t[(size_t)n_cols];
+  for (int32_t c = 0; c < n_cols; ++c) slot[c] = -1;
+  for (int32_t k = 0; k < n_in; ++k) slot[sel[k]] = k;
+  int32_t* counts = new int32_t[((size_t)n_in + 1) * 4];  // per-pop + outgroup
+  #define BAIL(ret) { delete[] slot; delete[] counts; \
+    *n_lines_out = line; *n_breaks_out = n_breaks; *n_flag_out = n_flag; \
+    return (ret); }
+  while (i < len) {
+    int64_t line_start = i;
+    if (buf[i] == '#') { while (i < len && buf[i] != '\n') ++i; ++i; continue; }
+    if (buf[i] == '\n' || buf[i] == '\r') { ++i; continue; }
+    if (line >= cap) BAIL(line_start + 1);
+    // name
+    int64_t name_off = i;
+    while (i < len && buf[i] != '\t' && buf[i] != ' ' && buf[i] != '\n') ++i;
+    if (i >= len || buf[i] == '\n') BAIL(line_start + 1);
+    int64_t name_len = i - name_off;
+    ++i;
+    if (prev_name_len != name_len ||
+        memcmp(buf + name_off, prev_name, (size_t)name_len) != 0) {
+      if (n_breaks >= max_breaks) BAIL(-1);
+      name_breaks[3 * n_breaks] = line;
+      name_breaks[3 * n_breaks + 1] = name_off;
+      name_breaks[3 * n_breaks + 2] = name_len;
+      ++n_breaks;
+      prev_name = buf + name_off;
+      prev_name_len = name_len;
+    }
+    // position
+    while (i < len && (buf[i] == '\t' || buf[i] == ' ')) ++i;
+    int64_t pos = 0, dstart = i;
+    while (i < len && buf[i] >= '0' && buf[i] <= '9') {
+      pos = pos * 10 + (buf[i] - '0');
+      ++i;
+    }
+    if (i == dstart || i >= len) BAIL(line_start + 1);
+    positions[line] = pos;
+    // sample columns
+    int64_t total[4] = {0, 0, 0, 0};
+    for (int32_t k = 0; k <= n_in; ++k)
+      counts[4 * k] = counts[4 * k + 1] = counts[4 * k + 2] = counts[4 * k + 3] = 0;
+    for (int32_t c = 0; c < n_cols; ++c) {
+      int32_t sl = slot[c];
+      bool is_out = (c == out_col);
+      for (int v = 0; v < 4; ++v) {
+        while (i < len && (buf[i] == '\t' || buf[i] == ' ' ||
+                           buf[i] == ',')) ++i;
+        if (i >= len || buf[i] == '\n') BAIL(line_start + 1);
+        int64_t val = 0, vstart = i;
+        while (i < len && buf[i] >= '0' && buf[i] <= '9') {
+          val = val * 10 + (buf[i] - '0');
+          if (val > 0x7fffffff) BAIL(line_start + 1);
+          ++i;
+        }
+        if (i == vstart) BAIL(line_start + 1);
+        if (sl >= 0) { counts[4 * sl + v] = (int32_t)val; total[v] += val; }
+        if (is_out) counts[4 * n_in + v] = (int32_t)val;
+      }
+    }
+    while (i < len && buf[i] != '\n') {
+      if (buf[i] != '\t' && buf[i] != ' ' && buf[i] != '\r' && buf[i] != ',')
+        BAIL(line_start + 1);
+      ++i;
+    }
+    ++i;
+    // running per-pop haplotype max (DenseFS dims; matches
+    // arrs.sum(axis=2).max(axis=0) over ALL lines)
+    for (int32_t k = 0; k < n_in; ++k) {
+      int32_t s4 = counts[4*k] + counts[4*k+1] + counts[4*k+2] + counts[4*k+3];
+      if (s4 > nhap_max[k]) nhap_max[k] = s4;
+    }
+    // ---- target selection
+    uint8_t line_ok = 0, line_ambig = 0;
+    int target = -1;
+    if (out_col >= 0) {
+      const int32_t* oc = counts + 4 * n_in;
+      int n_all = 0, n_out = 0;
+      for (int v = 0; v < 4; ++v) {
+        bool ia = total[v] > 0, oa = oc[v] > 0;
+        if (ia || oa) ++n_all;
+        if (oa) ++n_out;
+      }
+      if (n_all >= 1 && n_all <= 2 && n_out == 1) {
+        line_ok = 1;
+        for (int v = 0; v < 4; ++v)
+          if (total[v] > 0 && oc[v] == 0) { target = v; break; }
+        if (target < 0)
+          for (int v = 0; v < 4; ++v)
+            if (total[v] == 0) { target = v; break; }
+        if (target < 0) line_ok = 0;  // unreachable given the gates
+      }
+    } else {
+      int n_all = 0;
+      for (int v = 0; v < 4; ++v) if (total[v] > 0) ++n_all;
+      if (n_all >= 1 && n_all <= 2) {
+        line_ok = 1;
+        // argsort()[-2] = element at descending rank 1.  Sort the 4 totals
+        // descending by value; ambiguous iff that value ties with a
+        // NONZERO neighbour value (zero-total ties all yield identical
+        // all-zero per-pop columns, so any choice matches numpy's).
+        int64_t d[4] = {total[0], total[1], total[2], total[3]};
+        int idx[4] = {0, 1, 2, 3};
+        for (int a = 0; a < 3; ++a)
+          for (int b = a + 1; b < 4; ++b)
+            if (d[b] > d[a]) {
+              int64_t tv = d[a]; d[a] = d[b]; d[b] = tv;
+              int ti = idx[a]; idx[a] = idx[b]; idx[b] = ti;
+            }
+        if (d[1] > 0 && (d[0] == d[1] || d[1] == d[2])) {
+          line_ambig = 1;
+          target = idx[1];             // provisional; caller re-resolves
+        } else {
+          target = idx[1];
+        }
+      }
+    }
+    ok[line] = line_ok;
+    ambig[line] = line_ambig;
+    if (line_ok && target >= 0) {
+      for (int32_t k = 0; k < n_in; ++k)
+        tgt[line * (int64_t)n_in + k] = counts[4 * k + target];
+    } else {
+      for (int32_t k = 0; k < n_in; ++k) tgt[line * (int64_t)n_in + k] = 0;
+    }
+    if (line_ambig && line_ok) {
+      if (n_flag >= flag_cap) BAIL(-2);
+      flag_idx[n_flag] = line;
+      memcpy(flag_counts + n_flag * ((int64_t)n_in + 1) * 4, counts,
+             ((size_t)n_in + 1) * 4 * sizeof(int32_t));
+      ++n_flag;
+    }
+    ++line;
+  }
+  #undef BAIL
+  delete[] slot;
+  delete[] counts;
+  *n_lines_out = line;
+  *n_breaks_out = n_breaks;
+  *n_flag_out = n_flag;
+  return 0;
+}
+
+// Window-CSV emitter for the popgenWindows/ABBABABA finalize stage: one call
+// formats a whole flush batch (scaffold,start,end,mid,sites + value columns)
+// with the exact reference text semantics (round(np.float64, roundTo) + str;
+// "nan" rows for failed windows; int columns via int() truncation).
+//
+// col_kind: 0 = float (fmt_round_repr), 1 = int-or-nan
+// emit    : per-row write mask (failed windows without --writeFailedWindows
+//           are skipped by the caller's mask)
+// good    : rows with good=0 print "nan" for every stat column
+// Returns bytes written, advancing *row_done for the chunked-buffer resume
+// protocol, or -3 when a value is out of the exact-format range (|v|>=1e12;
+// caller falls back to the Python row loop).
+int64_t format_window_csv(
+    const uint8_t* scaf_blob, const int64_t* scaf_off, const int64_t* scaf_len,
+    const int32_t* scaf_idx,
+    const int64_t* start, const int64_t* end_,
+    const double* mid, const int64_t* sites,
+    const double* values, int32_t n_cols, const uint8_t* col_kind,
+    int32_t round_to,
+    const uint8_t* emit, const uint8_t* good,
+    int64_t n_rows, int64_t start_row,
+    uint8_t* out, int64_t out_cap, int64_t* row_done) {
+  double scale = 1.0;
+  for (int32_t k = 0; k < round_to; ++k) scale *= 10.0;
+  int64_t off = 0;
+  int64_t r = start_row;
+  for (; r < n_rows; ++r) {
+    if (!emit[r]) continue;
+    int64_t worst = scaf_len[scaf_idx[r]] + 70 + (int64_t)n_cols * 32;
+    if (off + worst > out_cap) break;
+    int32_t si = scaf_idx[r];
+    memcpy(out + off, scaf_blob + scaf_off[si], (size_t)scaf_len[si]);
+    off += scaf_len[si];
+    out[off++] = ',';
+    off += i64toa(start[r], out + off);
+    out[off++] = ',';
+    off += i64toa(end_[r], out + off);
+    out[off++] = ',';
+    off += fmt_int_or_nan(mid[r], out + off);
+    out[off++] = ',';
+    off += i64toa(sites[r], out + off);
+    const double* vrow = values + r * (int64_t)n_cols;
+    if (!good[r]) {
+      for (int32_t c = 0; c < n_cols; ++c) {
+        out[off++] = ',';
+        out[off++] = 'n'; out[off++] = 'a'; out[off++] = 'n';
+      }
+    } else {
+      for (int32_t c = 0; c < n_cols; ++c) {
+        out[off++] = ',';
+        double v = vrow[c];
+        if (col_kind[c]) {
+          off += fmt_int_or_nan(v, out + off);
+        } else {
+          if (v == v && (v >= 1e12 || v <= -1e12)) { *row_done = r; return -3; }
+          int n = fmt_round_repr(v, round_to, scale, out + off);
+          if (n < 0) { *row_done = r; return -3; }
+          off += n;
+        }
+      }
+    }
+    out[off++] = '\n';
+  }
+  *row_done = r;
+  return off;
+}
+
+}  // extern "C"
+
+extern "C" {
 
 // Whole-buffer gzip decompression via libdeflate (2-3x faster than zlib).
 // Handles multi-member gzip streams.  Returns total decompressed bytes, or

@@ -15,12 +15,14 @@ non-missing-haplotype COUNT per population (freq.py:83).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
 from .. import engine as _engine
 from ..io import geno as geno_io
+from ..io import native
 from ..io import writers
 from ..kernels import counts as counts_k
 from ..samples import SampleData
@@ -209,9 +211,40 @@ def main(argv=None) -> int:
             mh_writer.write_row(reader.scaffold_names[row_sids[a]],
                                 "".join(lines[a:b]))
 
+    # counts mode, single host: fused C count+format (io/native.
+    # freq_counts_rows).  The per-site counts ARE the output here, so the
+    # device round trip (u16 counts ride the ~30 MB/s link back) plus the
+    # per-row Python string assembly cost more than one C pass over the
+    # parsed chunk.  Binary writes bypass the text wrapper.
+    use_c_rows = (not args.target and mh_writer is None
+                  and os.environ.get("GGT_HOST_FREQ_ROWS") != "0")
+    c_out = getattr(out, "buffer", None) if use_c_rows else None
+    if c_out is not None:
+        out.flush()          # the header must precede the raw binary writes
+    pop_row_lists = [model.pop_row_indices[n] for n in pop_names] \
+        if use_c_rows else None
+
+    def c_process_block(alleles, scaffold_ids, positions):
+        S = positions.shape[0]
+        bnd = np.concatenate(
+            [[0], np.flatnonzero(scaffold_ids[1:] != scaffold_ids[:-1]) + 1,
+             [S]])
+        run_names = [reader.scaffold_names[scaffold_ids[a]].encode()
+                     for a in bnd[:-1]]
+        writer = c_out.write if c_out is not None \
+            else (lambda b: out.write(b.decode("ascii")))
+        if not native.freq_counts_rows(alleles, pop_row_lists, positions,
+                                       run_names, bnd, writer):
+            return None
+        return S
+
     def process_block(alleles, scaffold_ids, positions):
         """Per-site processing of one parsed chunk (everything here is
         sitewise, so streaming chunk-by-chunk preserves output exactly)."""
+        if use_c_rows:
+            done = c_process_block(alleles, scaffold_ids, positions)
+            if done is not None:
+                return done
         counts = counts_k.site_pop_counts_chunked(alleles, mask)  # [S,n_masks,4]
         S = counts.shape[0]
         scaf_names = np.array(reader.scaffold_names, dtype=object)

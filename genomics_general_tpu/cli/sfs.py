@@ -67,15 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _read_table_counts(path_or_stdin, header, first_sample_col, parse,
-                       vals_per_col=None):
-    """Parse a baseCounts/targetCounts table.
-
-    Returns (names, scafs, positions, rows); ``rows`` is either a numeric
-    matrix ([S, n_cols, vals_per_col] float64 for baseCounts, [S, n_cols]
-    int64 for targetCounts) from the C tokenizer — per-line Python parsing
-    dominated genome-scale freq->sfs runs — or the per-line Python list
-    fallback with the same ``rows[s][col]`` indexing."""
+def _read_table_header(path_or_stdin, header, first_sample_col):
+    """Read the table header + raw body bytes (parse deferred until the
+    selected columns are known, so the fused C path can skip materializing
+    the full numeric matrix)."""
     f = geno_io.open_maybe_gz(path_or_stdin, "rb") if isinstance(path_or_stdin, str) \
         else path_or_stdin
     if header is not None:
@@ -83,44 +78,51 @@ def _read_table_counts(path_or_stdin, header, first_sample_col, parse,
     else:
         names = f.readline().split()[first_sample_col:]
         names = [n.decode() if isinstance(n, bytes) else n for n in names]
+    body = f.read()
+    if isinstance(body, str):
+        body = body.encode()
+    return names, body
 
+
+def _parse_table_body(body, names, first_sample_col, parse,
+                      vals_per_col=None):
+    """Parse a baseCounts/targetCounts table body.
+
+    Returns (scafs, positions, rows); ``rows`` is either a numeric matrix
+    ([S, n_cols, vals_per_col] float64 for baseCounts, [S, n_cols] int64 for
+    targetCounts) from the C tokenizer — per-line Python parsing dominated
+    genome-scale freq->sfs runs — or the per-line Python list fallback with
+    the same ``rows[s][col]`` indexing."""
     if vals_per_col is not None and first_sample_col == 2:
-        data = f.read()
-        if isinstance(data, str):
-            data = data.encode()
         try:
             from ..io import native
             res = native.parse_name_table(
-                data, 1 + len(names) * vals_per_col)
+                body, 1 + len(names) * vals_per_col)
         except Exception:
             res = None
         if res is not None:
             vals, bnames, bounds = res
             S = vals.shape[0]
             positions = vals[:, 0].astype(np.int64)
-            body = vals[:, 1:]
+            vbody = vals[:, 1:]
             if vals_per_col == 1:
-                rows = body.reshape(S, len(names)).astype(np.int64)
+                rows = vbody.reshape(S, len(names)).astype(np.int64)
             else:
-                rows = body.reshape(S, len(names), vals_per_col)
+                rows = vbody.reshape(S, len(names), vals_per_col)
             scafs = np.empty(S, dtype=object)
             for k in range(len(bnames)):
                 scafs[bounds[k]:bounds[k + 1]] = bnames[k].decode()
-            return names, scafs, positions, rows
-        # fall back to the line loop over the slurped blob
-        lines_iter = data.split(b"\n")
-    else:
-        lines_iter = f
+            return scafs, positions, rows
 
     scafs, positions, rows = [], [], []
-    for line in lines_iter:
-        if not line.strip() or line.startswith(b"#" if isinstance(line, bytes) else "#"):
+    for line in body.split(b"\n"):
+        if not line.strip() or line.startswith(b"#"):
             continue
         parts = line.split()
-        scafs.append(parts[0].decode() if isinstance(parts[0], bytes) else parts[0])
+        scafs.append(parts[0].decode())
         positions.append(int(parts[1]))
         rows.append([parse(x) for x in parts[first_sample_col:]])
-    return names, scafs, positions, rows
+    return scafs, positions, rows
 
 
 def main(argv=None) -> int:
@@ -222,18 +224,13 @@ def _run(args, include, exclude, n_intervals):
         reader = geno_io.rebind_reader(probe, sd)
         S = None                         # streamed; never materialized
     else:
-        names, scafs, positions_l, rows = _read_table_counts(
+        names, table_body = _read_table_header(
             args.inputFile if args.inputFile else sys.stdin.buffer,
-            args.header, args.firstSampleCol,
-            (lambda x: np.array(str(x if not isinstance(x, bytes) else x.decode()).split(","), dtype=float).astype(int))
-            if input_type == "baseCounts" else (lambda x: int(x)),
-            vals_per_col=4 if input_type == "baseCounts" else 1)
+            args.header, args.firstSampleCol)
         if pop_names is None:
             pop_names = names
         col_of = {n: i for i, n in enumerate(names)}
-        scaf_of_site = np.array(scafs, dtype=object)
-        positions = np.array(positions_l, dtype=int)
-        S = len(rows)
+        S = None                         # body parsed lazily below
 
     # outgroup (sfs.py:369-377)
     if input_type in ("genotypes", "baseCounts") and (args.polarized or args.outgroup):
@@ -305,6 +302,58 @@ def _run(args, include, exclude, n_intervals):
                 return 0
         return _write_output(args, emitters, fs_pops)
 
+    # ---------------- table inputs (baseCounts / targetCounts)
+    fast_table = (input_type == "baseCounts" and subsample_dict is None
+                  and intervals is None)
+    if fast_table and args.firstSampleCol == 2:
+        # fused C path: one pass parses the table AND selects per-pop
+        # target-allele counts (io/native.parse_base_counts_targets); only
+        # argsort-tie-ambiguous folded lines are re-resolved here with
+        # np.argsort so the nondeterministic-tie behavior matches numpy's
+        from ..io import native
+        from ..stats.sfs_accum import DenseFS, ScaffoldKeyTracker
+        res = native.parse_base_counts_targets(
+            table_body, len(names), [col_of[p] for p in in_pop_names],
+            col_of[outgroup] if outgroup else -1)
+        if res is not None:
+            positions, tgt, ok, flag_idx, flag_counts, nhap_max, bnames, \
+                bounds = res
+            n_in = len(in_pop_names)
+            if flag_idx.size:
+                tot = flag_counts[:, :n_in, :].sum(axis=1)
+                t2 = np.argsort(tot, axis=1)[:, -2]
+                tgt[flag_idx] = flag_counts[
+                    np.arange(flag_idx.size)[:, None],
+                    np.arange(n_in)[None, :], t2[:, None]]
+            run_sizes = np.diff(bounds)
+            sel_mask = ok.astype(bool)
+            if include is not None or exclude is not None:
+                run_keep = np.array(
+                    [(include is None or nm.decode() in include)
+                     and (exclude is None or nm.decode() not in exclude)
+                     for nm in bnames], dtype=bool)
+                sel_mask &= np.repeat(run_keep, run_sizes)
+            sids = np.repeat(np.arange(len(bnames)), run_sizes)
+            keys = ScaffoldKeyTracker().keys_for(sids)
+            tgt_ok, keys_ok = tgt[sel_mask], keys[sel_mask]
+            emitters = []
+            for g in fs_pops:
+                gp = [in_pop_names.index(p) for p in g]
+                acc = DenseFS(tuple(int(nhap_max[j]) + 1 for j in gp),
+                              n_intervals)
+                acc.add_batch(acc.flat_index(tgt_ok[:, gp]), keys_ok)
+                emitters.append(acc)
+            return _write_output(args, emitters, fs_pops)
+
+    scafs, positions_l, rows = _parse_table_body(
+        table_body, names, args.firstSampleCol,
+        (lambda x: np.array(str(x if not isinstance(x, bytes) else x.decode()).split(","), dtype=float).astype(int))
+        if input_type == "baseCounts" else (lambda x: int(x)),
+        vals_per_col=4 if input_type == "baseCounts" else 1)
+    scaf_of_site = np.array(scafs, dtype=object)
+    positions = np.array(positions_l, dtype=int)
+    S = len(rows)
+
     keep = np.ones(S, dtype=bool) if S else np.zeros(0, dtype=bool)
     if S:
         if include is not None:
@@ -312,9 +361,6 @@ def _run(args, include, exclude, n_intervals):
         if exclude is not None:
             keep &= np.array([s not in exclude for s in scaf_of_site])
 
-    # ---------------- table inputs (baseCounts / targetCounts)
-    fast_table = (input_type == "baseCounts" and subsample_dict is None
-                  and intervals is None)
     if fast_table:
         # vectorized: bincount into dense spectra, insertion order recovered
         # from first-occurrence keys (stats/sfs_accum.py)

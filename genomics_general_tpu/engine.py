@@ -102,12 +102,27 @@ class Progress:
 
 
 class StageTimer:
-    """Accumulating per-stage wall-clock timers (parse / h2d / kernel /
-    finalize / write).  Enabled by ``--profile``; reported on stderr."""
+    """Accumulating per-stage wall-clock timers, grouped into pipeline
+    *lanes* (threads): the parse prefetch thread, the dispatch thread
+    (pack + h2d + async kernel launch), and the collect/finalize thread
+    (blocking device fetch + f64 math + writes).
+
+    Stages on different lanes run concurrently, so their sum is NOT wall
+    time; within one lane stages are disjoint, so per-lane busy time is
+    bounded by wall and the per-lane idle residual is non-negative by
+    construction.  The bottleneck lane is the one with busy ~= wall.
+    Note "d2h" is the collect thread's *blocking wait* on device results —
+    with async dispatch it includes device compute time, not just the
+    transfer.  Enabled by ``--profile``; reported on stderr."""
+
+    LANES = {"parse": "parse",
+             "h2d": "dispatch", "kernel": "dispatch",
+             "d2h": "collect", "finalize": "collect", "write": "collect"}
 
     def __init__(self, enabled: bool = False):
         self.enabled = enabled
         self.t: dict[str, float] = {}
+        self.t0 = time.perf_counter()
 
     class _Ctx:
         def __init__(self, timer, name):
@@ -123,15 +138,41 @@ class StageTimer:
     def stage(self, name: str):
         return self._Ctx(self, name)
 
+    def split(self, wall: float | None = None) -> dict:
+        """Structured stage/lane split for benchmark artifacts.
+
+        Returns ``{"wall": w, "stages": {...}, "lanes": {lane: {"busy": b,
+        "idle": w - b}}}``; idle is clamped at 0 only against clock jitter
+        (each lane's stages are serial on one thread, so busy <= wall up to
+        timer resolution)."""
+        wall = wall if wall is not None else time.perf_counter() - self.t0
+        lanes: dict[str, float] = {}
+        for name, v in self.t.items():
+            lane = self.LANES.get(name, name)
+            lanes[lane] = lanes.get(lane, 0.0) + v
+        return {
+            "wall": round(wall, 4),
+            "stages": {k: round(v, 4) for k, v in self.t.items()},
+            "lanes": {lane: {"busy": round(b, 4),
+                             "idle": round(max(wall - b, 0.0), 4)}
+                      for lane, b in lanes.items()},
+        }
+
     def report(self, stream=None, extra: str = ""):
         if not self.enabled or not self.t:
             return
         stream = stream or sys.stderr
-        total = sum(self.t.values())
-        parts = " | ".join(f"{k}: {v:.3f}s ({100 * v / total:.0f}%)"
-                           for k, v in sorted(self.t.items(),
-                                              key=lambda kv: -kv[1]))
-        stream.write(f"[profile] {parts} | total {total:.3f}s{extra}\n")
+        sp = self.split()
+        wall = sp["wall"]
+        lane_parts = " | ".join(
+            f"{lane}: {d['busy']:.3f}s busy ({100 * d['busy'] / wall:.0f}%)"
+            for lane, d in sorted(sp["lanes"].items(),
+                                  key=lambda kv: -kv[1]["busy"]))
+        stage_parts = " ".join(f"{k}={v:.3f}s"
+                               for k, v in sorted(self.t.items(),
+                                                  key=lambda kv: -kv[1]))
+        stream.write(f"[profile] wall {wall:.3f}s | {lane_parts} | "
+                     f"[{stage_parts}]{extra}\n")
 
 
 # ----------------------------------------------------------------- cursor

@@ -91,6 +91,60 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int32, flags="C"), ctypes.c_int64]
     except AttributeError:
         pass
+    try:
+        lib.freq_counts_rows.restype = ctypes.c_int64
+        lib.freq_counts_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"), ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"), ctypes.c_int64,
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+    except AttributeError:
+        pass
+    try:
+        lib.parse_base_counts_targets.restype = ctypes.c_int64
+        lib.parse_base_counts_targets.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C"), ctypes.c_int32,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C"), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C"), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
+    except AttributeError:
+        pass
+    try:
+        lib.format_window_csv.restype = ctypes.c_int64
+        lib.format_window_csv.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"), ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"), ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C"),
+            ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+    except AttributeError:
+        pass
     lib.parse_geno_chunk.restype = ctypes.c_int64
     lib.parse_geno_chunk.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -215,6 +269,166 @@ def parse_name_table(blob, n_vals: int):
             names.append(blob[off:off + ln].tobytes())
     lines_at[nb] = n
     return values[:n], names, lines_at
+
+
+def freq_counts_rows(alleles: np.ndarray, pop_row_lists, positions: np.ndarray,
+                     run_names: list[bytes], run_bounds: np.ndarray,
+                     write, buf_bytes: int = 8 << 20) -> bool:
+    """Fused per-site pop base counting + freq counts-mode row formatting
+    (C one-pass; the per-site counts are the OUTPUT here, so no device round
+    trip).  ``write(bytes)`` is called per filled buffer.  Returns False when
+    the native library is unavailable (caller falls back)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "freq_counts_rows"):
+        return False
+    H, S = alleles.shape
+    if S == 0:
+        return True
+    if alleles.strides[1] != 1:
+        alleles = np.ascontiguousarray(alleles)
+    pop_rows = np.ascontiguousarray(
+        np.concatenate([np.asarray(r, dtype=np.int32) for r in pop_row_lists])
+        if pop_row_lists else np.zeros(0, np.int32), dtype=np.int32)
+    pop_starts = np.zeros(len(pop_row_lists) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in pop_row_lists], out=pop_starts[1:])
+    blob = b"".join(run_names)
+    run_off = np.zeros(len(run_names), dtype=np.int64)
+    run_len = np.array([len(n) for n in run_names], dtype=np.int64)
+    np.cumsum(run_len[:-1], out=run_off[1:])
+    rb = np.ascontiguousarray(run_bounds, dtype=np.int64)
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    out = np.empty(buf_bytes, dtype=np.uint8)
+    done = ctypes.c_int64(0)
+    s = 0
+    while s < S:
+        n = lib.freq_counts_rows(
+            alleles.ctypes.data_as(ctypes.c_void_p),
+            np.int64(alleles.strides[0]), np.int64(S),
+            pop_rows, pop_starts, np.int32(len(pop_row_lists)),
+            positions, blob, run_off, run_len, rb, np.int64(len(run_names)),
+            np.int64(s), out, np.int64(buf_bytes), ctypes.byref(done))
+        if n < 0:
+            raise RuntimeError(f"freq_counts_rows error {n}")
+        if n == 0 and done.value == s:
+            raise RuntimeError("freq_counts_rows made no progress")
+        write(out[:n].tobytes())
+        s = done.value
+    return True
+
+
+def parse_base_counts_targets(blob, n_cols: int, sel_cols, out_col: int):
+    """C fused baseCounts-table parse + SFS target selection.
+
+    Returns (positions int64 [S], tgt int32 [S, n_in], ok uint8 [S],
+    ambig_idx int64 [F], ambig_counts int32 [F, n_in+1, 4], nhap_max
+    int32 [n_in], names list[bytes], bounds int64 [n_runs+1]) or None when
+    the library is missing / the blob does not fit the integer grammar
+    (caller falls back to the float64 table parser).  Ambiguous folded lines
+    (argsort tie affecting the output) carry provisional targets; the caller
+    re-resolves them with np.argsort on ambig_counts."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "parse_base_counts_targets"):
+        return None
+    if isinstance(blob, np.ndarray):
+        buf_ptr = blob.ctypes.data_as(ctypes.c_void_p)
+        blob_len = blob.size
+        as_bytes = None
+    else:
+        buf_ptr = ctypes.cast(ctypes.c_char_p(blob), ctypes.c_void_p)
+        blob_len = len(blob)
+        as_bytes = blob
+    sel = np.ascontiguousarray(sel_cols, dtype=np.int32)
+    n_in = sel.size
+    cap = blob_len // (2 * (1 + 4 * n_cols)) + 2
+    positions = np.empty(cap, dtype=np.int64)
+    tgt = np.empty((cap, max(n_in, 1)), dtype=np.int32)
+    ok = np.empty(cap, dtype=np.uint8)
+    ambig = np.empty(cap, dtype=np.uint8)
+    flag_cap = max(4096, cap // 16)
+    flag_counts = np.empty((flag_cap, n_in + 1, 4), dtype=np.int32)
+    flag_idx = np.empty(flag_cap, dtype=np.int64)
+    nhap_max = np.zeros(max(n_in, 1), dtype=np.int32)
+    max_breaks = 65536
+    breaks = np.empty(3 * max_breaks, dtype=np.int64)
+    n_breaks = ctypes.c_int64(0)
+    n_lines = ctypes.c_int64(0)
+    n_flag = ctypes.c_int64(0)
+    ret = lib.parse_base_counts_targets(
+        buf_ptr, np.int64(blob_len), np.int32(n_cols), sel, np.int32(n_in),
+        np.int32(out_col), positions, tgt, ok, ambig,
+        flag_counts.reshape(flag_cap, -1), flag_idx, np.int64(flag_cap),
+        nhap_max, np.int64(cap), breaks, np.int64(max_breaks),
+        ctypes.byref(n_breaks), ctypes.byref(n_lines), ctypes.byref(n_flag))
+    if ret != 0:
+        return None
+    n = n_lines.value
+    nb = n_breaks.value
+    nf = n_flag.value
+    names = []
+    bounds = np.empty(nb + 1, dtype=np.int64)
+    for k in range(nb):
+        li, off, ln = breaks[3 * k], breaks[3 * k + 1], breaks[3 * k + 2]
+        bounds[k] = li
+        names.append(as_bytes[off:off + ln] if as_bytes is not None
+                     else blob[off:off + ln].tobytes())
+    bounds[nb] = n
+    return (positions[:n], tgt[:n], ok[:n], flag_idx[:nf],
+            flag_counts[:nf], nhap_max, names, bounds)
+
+
+def format_window_csv(scaf_names: list[bytes], scaf_idx: np.ndarray,
+                      start: np.ndarray, end: np.ndarray, mid: np.ndarray,
+                      sites: np.ndarray, values: np.ndarray,
+                      col_kind: np.ndarray, round_to: int,
+                      emit: np.ndarray, good: np.ndarray,
+                      write, buf_bytes: int = 8 << 20) -> bool:
+    """C window-CSV emitter (reference round(np.float64, roundTo)+str text).
+
+    ``values`` [W, C] float64; ``col_kind`` uint8 (0=float, 1=int-or-nan);
+    ``write(bytes)`` per filled buffer.  Returns False when unavailable or a
+    value falls outside the exact-format range (caller uses the Python row
+    loop)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "format_window_csv"):
+        return False
+    W = start.shape[0]
+    if W == 0:
+        return True
+    blob = b"".join(scaf_names)
+    off = np.zeros(len(scaf_names), dtype=np.int64)
+    ln = np.array([len(n) for n in scaf_names], dtype=np.int64)
+    if len(scaf_names) > 1:
+        np.cumsum(ln[:-1], out=off[1:])
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    out = np.empty(buf_bytes, dtype=np.uint8)
+    done = ctypes.c_int64(0)
+    r = 0
+    chunks = []
+    while r < W:
+        n = lib.format_window_csv(
+            blob, off, ln, np.ascontiguousarray(scaf_idx, dtype=np.int32),
+            np.ascontiguousarray(start, dtype=np.int64),
+            np.ascontiguousarray(end, dtype=np.int64),
+            np.ascontiguousarray(mid, dtype=np.float64),
+            np.ascontiguousarray(sites, dtype=np.int64),
+            values, np.int32(values.shape[1]),
+            np.ascontiguousarray(col_kind, dtype=np.uint8),
+            np.int32(round_to),
+            np.ascontiguousarray(emit, dtype=np.uint8),
+            np.ascontiguousarray(good, dtype=np.uint8),
+            np.int64(W), np.int64(r), out, np.int64(buf_bytes),
+            ctypes.byref(done))
+        if n == -3:
+            return False
+        if n < 0:
+            raise RuntimeError(f"format_window_csv error {n}")
+        if n == 0 and done.value == r:
+            raise RuntimeError("format_window_csv made no progress")
+        chunks.append(out[:n].tobytes())
+        r = done.value
+    for c in chunks:
+        write(c)
+    return True
 
 
 class GzChunkStream:
