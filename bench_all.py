@@ -17,6 +17,7 @@ Configs (BASELINE.md):
   5. dmat4pop   distMat cat (genome-wide) + fourPopWindows full panel
 """
 
+import datetime
 import json
 import os
 import statistics
@@ -30,9 +31,22 @@ CACHE = REPO / ".bench_cache"
 SITES = int(os.environ.get("BENCH_ALL_SITES", 2_000_000))
 REF_SITES = int(os.environ.get("BENCH_REF_SITES", 40_000))
 REF_PATH = os.environ.get("BENCH_REF", "/root/reference")
-N_RUNS = int(os.environ.get("BENCH_RUNS", 3))
+N_RUNS = int(os.environ.get("BENCH_RUNS", 5))
 
 sys.path.insert(0, str(REPO))
+
+
+def host_weather() -> float:
+    """Quick memcpy probe (MB/s): this box's throughput swings several-fold
+    minute to minute, so every result row records the conditions it was
+    measured under."""
+    import numpy as np
+    a = np.ones(64 << 20, dtype=np.uint8)
+    t0 = time.perf_counter()
+    b = a.copy()
+    dt = time.perf_counter() - t0
+    del b
+    return round(64 / dt, 1)
 
 
 def ensure_data():
@@ -157,12 +171,27 @@ def config_cmds(geno, pops, wc, out_dir):
     }
 
 
-def run_engine_step(module, args):
+def run_engine_step(module, args, stage_sink=None):
+    """Run one engine CLI in-process; optionally capture its StageTimer
+    lane split into ``stage_sink`` (a dict)."""
     import importlib
     mod = importlib.import_module(module)
-    t0 = time.perf_counter()
-    mod.main(list(args))
-    return time.perf_counter() - t0
+    if stage_sink is None:
+        t0 = time.perf_counter()
+        mod.main(list(args))
+        return time.perf_counter() - t0
+    from genomics_general_tpu import engine as _eng
+    orig = _eng.StageTimer.report
+
+    def report(self, stream=None, extra=""):
+        stage_sink.update(self.split())
+    _eng.StageTimer.report = report
+    try:
+        t0 = time.perf_counter()
+        mod.main(list(args) + ["--profile"])
+        return time.perf_counter() - t0
+    finally:
+        _eng.StageTimer.report = orig
 
 
 _REF_SHIM = None
@@ -208,15 +237,40 @@ def swap_input(args, old, new):
             for a in args]
 
 
+# engine CLI modules that accept --profile (StageTimer lane split)
+_PROFILABLE = {"genomics_general_tpu.cli.popgen_windows",
+               "genomics_general_tpu.cli.abba_windows",
+               "genomics_general_tpu.cli.four_pop_windows"}
+
+RESULTS_PATH = REPO / "BASELINE_RESULTS.json"
+
+
+def load_results() -> dict:
+    """Existing results file (merged per config, never clobbered: a partial
+    re-run of one config must not erase the other configs' rows)."""
+    try:
+        with open(RESULTS_PATH) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {}
+    doc.setdefault("sites", SITES)
+    doc.setdefault("ref_sites", REF_SITES)
+    doc.setdefault("results", {})
+    doc.setdefault("history", [])
+    return doc
+
+
 def main():
     geno, pops, sub, wc, wc_sub = ensure_data()
     out_dir = Path("/tmp/bench_all")
     out_dir.mkdir(exist_ok=True)
-    results = {}
+    doc = load_results()
+    results = doc["results"]
     only = set(sys.argv[1:])
     for name, steps in config_cmds(geno, pops, wc, out_dir).items():
         if only and name not in only:
             continue
+        weather0 = host_weather()
         # warm-up (compiles), then N_RUNS engine/reference pairs INTERLEAVED
         # so both sides sample the same host-weather distribution (the box's
         # CPU/memory throughput swings several-fold minute to minute)
@@ -224,13 +278,19 @@ def main():
             run_engine_step(module, args)            # compile warm-up
         times = []
         ref_times = []
+        stage_splits = None
         thread_flag = {"freq.py": ["-t", "1"], "sfs.py": []}
         have_ref = Path(REF_PATH).exists()
         for _ in range(N_RUNS):
             dt = 0.0
+            splits = []
             for module, args, _, _ in steps:
-                dt += run_engine_step(module, args)
+                sink = {} if module in _PROFILABLE else None
+                dt += run_engine_step(module, args, stage_sink=sink)
+                splits.append(sink)
             times.append(dt)
+            if stage_splits is None or dt <= min(times):
+                stage_splits = splits        # split of the fastest run
             if not have_ref:
                 continue
             dt = 0.0
@@ -263,13 +323,20 @@ def main():
             "ref_sites_per_s": round(ref_sps, 1) if ref_sps else None,
             "ref_runs_s": [round(t, 3) for t in ref_times],
             "speedup": round(eng_sps / ref_sps, 2) if ref_sps else None,
+            "stages": stage_splits,
+            "memcpy_mb_s": [weather0, host_weather()],
+            "timestamp": datetime.datetime.now(datetime.timezone.utc)
+                         .strftime("%Y-%m-%dT%H:%M:%SZ"),
         }
+        if name in results and results[name].get("speedup") is not None:
+            prev = dict(results[name])
+            prev.pop("stages", None)
+            doc["history"].append(prev)
         results[name] = row
         print(json.dumps(row), flush=True)
 
-    with open(REPO / "BASELINE_RESULTS.json", "w") as f:
-        json.dump({"sites": SITES, "ref_sites": REF_SITES,
-                   "results": results}, f, indent=1)
+        with open(RESULTS_PATH, "w") as f:      # checkpoint after EVERY config
+            json.dump(doc, f, indent=1)
 
 
 if __name__ == "__main__":

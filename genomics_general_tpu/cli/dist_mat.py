@@ -186,21 +186,45 @@ def main(argv=None) -> int:
 
     if wind["windType"] == "cat":
         # cat: the reference reads everything into RAM (distMat.py:316-319,
-        # README.md:214 RAM warning); here only the numeric matrix is ever
-        # resident and the pair counts accumulate on device
-        data = reader.read_all()
-        keep = W.filter_scaffolds(
-            data.scaffold_ids, data.scaffold_names,
-            include=common.read_scaffold_list(args.include),
-            exclude=common.read_scaffold_list(args.exclude))
-        if shard_pred is not None:
-            owned = np.array([shard_pred(n) for n in data.scaffold_names],
-                             dtype=bool)
-            keep &= owned[data.scaffold_ids]
-        if not keep.all():
-            data.alleles = data.alleles[:, keep]
-            data.positions = data.positions[keep]
-            data.scaffold_ids = data.scaffold_ids[keep]
+        # README.md:214 RAM warning); here site blocks stream through the
+        # device accumulator and only the [H, H] counts stay on host —
+        # O(chunk) memory, no genome-resident matrix at all.  Positions are
+        # retained (10 B/site) only when --windowDataOutFile needs the cat
+        # window's midpoint.
+        include_l = common.read_scaffold_list(args.include)
+        exclude_l = common.read_scaffold_list(args.exclude)
+        inc = set(include_l) if include_l is not None else None
+        exc = set(exclude_l) if exclude_l is not None else None
+        H = model.n_rows
+        acc = pair_k.CatPairAccumulator(H)
+        called = np.zeros(H, dtype=np.int64)
+        total_sites = 0
+        first_sid, first_pos, last_pos = 0, 0, 0
+        keep_positions = bool(args.windowDataOutFile) and n_procs == 1
+        pos_parts: list[np.ndarray] = []
+        for chunk in engine._prefetched(reader.iter_chunks()):
+            a, p, sids = chunk.alleles, chunk.positions, chunk.scaffold_ids
+            if inc is not None or exc is not None or shard_pred is not None:
+                names = reader.scaffold_names
+                ok = np.array([(inc is None or n in inc)
+                               and (exc is None or n not in exc)
+                               and (shard_pred is None or shard_pred(n))
+                               for n in names])
+                km = ok[sids]
+                if not km.all():
+                    a, p, sids = a[:, km], p[km], sids[km]
+            if p.size == 0:
+                continue
+            if total_sites == 0:
+                first_sid, first_pos = int(sids[0]), int(p[0])
+            last_pos = int(p[-1])
+            total_sites += p.size
+            called += (a >= 0).sum(axis=1)
+            if keep_positions:
+                pos_parts.append(p.copy())
+            acc.add(a)
+            progress.update(sites=p.size)
+        m0, s0 = acc.finish()
         if n_procs > 1:
             # genome-wide accumulator merge: each host counts its scaffolds,
             # the [H,H] mismatch/shared matrices + per-haplotype called
@@ -208,17 +232,8 @@ def main(argv=None) -> int:
             assert not args.windowDataOutFile, \
                 "--windowDataOutFile is not supported for multi-host cat " \
                 "mode (window metadata is host-local)"
-            H = model.n_rows
-            if data.n_sites:
-                m0, s0 = pair_k.long_span_pair_counts(data.alleles, 0,
-                                                      data.n_sites)
-            else:
-                m0 = np.zeros((H, H), np.int64)
-                s0 = np.zeros((H, H), np.int64)
-            called = (data.alleles >= 0).sum(axis=1).astype(np.int64)
             packed = np.concatenate(
-                [m0.astype(np.int64).ravel(), s0.astype(np.int64).ravel(),
-                 called, [np.int64(data.n_sites)]])
+                [m0.ravel(), s0.ravel(), called, [np.int64(total_sites)]])
             merged = multihost.collective_reduce(packed, "sum")
             if multihost.process_index() != 0:
                 progress.close()
@@ -254,15 +269,21 @@ def main(argv=None) -> int:
                     out0.close()
             progress.close()
             return 0
-        plan = common.build_plan(wind, data.scaffold_ids, data.positions,
-                                 data.scaffold_names)
-        m0, s0 = pair_k.long_span_pair_counts(data.alleles, 0, data.n_sites)
-        mism, shar = m0[None].astype(np.int32), s0[None].astype(np.int32)
+        plan = W.WindowPlan(np.array([first_sid], np.int32),
+                            np.array([first_pos], np.int64),
+                            np.array([last_pos], np.int64),
+                            np.array([0], np.int64),
+                            np.array([total_sites], np.int64), "cat")
+        plan.ids = [1]
+        mism, shar = m0[None], s0[None]
+        if keep_positions and pos_parts:
+            mid = plan.mid(np.concatenate(pos_parts))
+        else:
+            mid = np.array([np.nan])
 
         class _CatBatch:
-            alleles = data.alleles
-            scaffold_names = data.scaffold_names
-        emit(plan, mism, shar, _CatBatch, 0, plan.mid(data.positions))
+            scaffold_names = reader.scaffold_names
+        emit(plan, mism, shar, _CatBatch, 0, mid, ind_called=called)
     else:
         # windowed: stream flush batches (O(flush) memory, like popgen)
         def dispatch(batch):

@@ -23,6 +23,7 @@ import numpy as np
 
 from .. import engine
 from ..io import geno as geno_io
+from ..io import native
 from ..io import writers
 from ..kernels import counts as counts_k
 from ..kernels import pairdist as pair_k
@@ -155,6 +156,16 @@ def main(argv=None) -> int:
         out, skip_windows, cursor = common.open_resumable_out(
             args, header_line)
 
+    # single-host non-resume runs emit rows via the C formatter over the
+    # binary buffer (one write channel; the text wrapper only carried the
+    # header, flushed before any raw write)
+    use_c_csv = (mh_writer is None and cursor is None
+                 and not args.addWindowID
+                 and os.environ.get("GGT_HOST_CSV") != "0")
+    c_out = getattr(out, "buffer", None) if use_c_csv else None
+    if c_out is not None:
+        out.flush()
+
     # popDist/popPairDist-only runs use the fully-fused device path: pair
     # counts AND the per-pop-block float64 reductions stay on device, so only
     # [W, 2, P, P] floats ride the slow link (kernels/pairdist.
@@ -166,11 +177,13 @@ def main(argv=None) -> int:
                   and not (need_freq or need_wc)
                   and all(a in fast_dist for a in analysis)
                   and os.environ.get("GGT_HOST_DIST_FINALIZE") != "1")
-    # per-individual block granularity when individual-level stats are on:
-    # pop blocks are exact sums of individual blocks, and each individual's
-    # raw own-pair counts ride along for the sampleHet guard
-    blocks_ind = use_blocks and bool(
-        {"indPairDist", "indHet"} & set(analysis))
+    # per-individual block granularity ONLY when indPairDist needs the full
+    # [I, I] matrices; indHet alone rides the pop-blocks kernel (each
+    # individual's raw own-pair counts are fetched either way) — the [W,I,I]
+    # float64 ind blocks were ~95% of the d2h bytes on the ~30 MB/s link
+    need_ind_blocks = use_blocks and "indPairDist" in analysis
+    need_het = use_blocks and "indHet" in analysis
+    blocks_ind = need_ind_blocks
     if use_blocks:
         dist_groups_arr = np.array(
             ["" if g is None else g for g in model.row_group])
@@ -181,17 +194,19 @@ def main(argv=None) -> int:
         # 51-64); individual-stat-only runs see the unmutated matrix
         ms_gate = min_sites if ("popDist" in analysis
                                 or "popPairDist" in analysis) else 0
-        if blocks_ind:
+        if need_ind_blocks or need_het:
             ind_names_sorted = model.sample_names
             n_i = len(ind_names_sorted)
-            ind_mask = np.zeros((n_i, model.n_rows), dtype=np.float64)
             het_rows = np.zeros((2, n_i), dtype=np.int32)
             diploid = np.zeros(n_i, dtype=bool)
             for k, rows in enumerate(model.sample_rows):
-                ind_mask[k, rows] = 1.0
                 if rows.size == 2:
                     diploid[k] = True
                     het_rows[0, k], het_rows[1, k] = int(rows[0]), int(rows[1])
+        if blocks_ind:
+            ind_mask = np.zeros((n_i, model.n_rows), dtype=np.float64)
+            for k, rows in enumerate(model.sample_rows):
+                ind_mask[k, rows] = 1.0
             # individual -> pop aggregation one-hot [P, I]
             ind_group = np.array(
                 ["" if model.row_group[int(r[0])] is None
@@ -237,6 +252,13 @@ def main(argv=None) -> int:
                 handles["indblocks"] = pair_k.window_pair_ind_blocks_dispatch(
                     span, plan.first.astype(np.int32),
                     plan.n_sites.astype(np.int32), ind_mask, het_rows,
+                    ms_gate)
+            elif use_blocks and need_het:
+                # pop-level blocks + per-individual own-pair raw counts in
+                # one fetch; no [W, I, I] matrices ride the link
+                handles["pophet"] = pair_k.window_pair_ind_blocks_dispatch(
+                    span, plan.first.astype(np.int32),
+                    plan.n_sites.astype(np.int32), dist_mask, het_rows,
                     ms_gate)
             elif use_blocks:
                 handles["pairblocks"] = pair_k.window_pair_block_stats_dispatch(
@@ -285,6 +307,19 @@ def main(argv=None) -> int:
                         het_m, het_s, ind_names_sorted, diploid, ms_gate)
                     for key, v in het.items():
                         values["het_" + key] = v
+        elif use_blocks and need_het:
+            with timer.stage("d2h"):
+                psums, pcnts, het_m, het_s = handles["pophet"].collect()
+            with timer.stage("finalize"):
+                if "popDist" in analysis or "popPairDist" in analysis:
+                    values.update(popgen.group_dist_stats_from_blocks(
+                        psums, pcnts, dist_pops, dist_sizes,
+                        do_pairs="popPairDist" in analysis,
+                        min_data=args.minData))
+                het = popgen.sample_het_from_pairs(
+                    het_m, het_s, ind_names_sorted, diploid, ms_gate)
+                for key, v in het.items():
+                    values["het_" + key] = v
         elif use_blocks:
             with timer.stage("d2h"):
                 bsums, bcnts = handles["pairblocks"].collect()
@@ -339,6 +374,27 @@ def main(argv=None) -> int:
                             zip(plan.first, plan.last))
 
         with timer.stage("write"):
+            if c_out is not None and n_w:
+                # whole-batch C row emitter (io/native.format_window_csv):
+                # replaces ~n_w * n_stats round()+str() Python calls with one
+                # C pass producing the identical bytes
+                emit = np.ones(n_w, dtype=bool) if args.writeFailedWindows \
+                    else good.astype(bool)
+                names_b = [n.encode() for n in batch.scaffold_names] + [b"None"]
+                scaf_idx = np.where(plan.scaffold_id >= 0, plan.scaffold_id,
+                                    len(names_b) - 1).astype(np.int32)
+                cols = [np.asarray(values[s], dtype=np.float64) if s in values
+                        else np.full(n_w, np.nan) for s in stats]
+                vals_mat = np.column_stack(cols) if stats \
+                    else np.zeros((n_w, 0), dtype=np.float64)
+                kind = np.array([1 if (s in int_stats or s.startswith("S_"))
+                                 else 0 for s in stats], dtype=np.uint8)
+                if native.format_window_csv(
+                        names_b, scaf_idx, plan.start, plan.end,
+                        np.asarray(mid, dtype=np.float64), sites, vals_mat,
+                        kind, rt, emit, good.astype(bool), c_out.write):
+                    progress.update(rows=int(emit.sum()))
+                    return
             rows_written = 0
             for w in range(n_w):
                 if batch.window_offset + w < skip_windows:
@@ -371,6 +427,8 @@ def main(argv=None) -> int:
                     key = wc_order_keys[batch.window_offset + w] \
                         if wc_order_keys is not None else None
                     mh_writer.write_row(scaf_name, text, order_key=key)
+                elif c_out is not None:
+                    c_out.write(text.encode())   # same channel as the C path
                 else:
                     out.write(text)
                 rows_written += 1

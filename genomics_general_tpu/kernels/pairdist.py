@@ -105,6 +105,67 @@ def long_span_pair_counts(alleles_dev, first: int, last: int,
     return mism, shar
 
 
+class CatPairAccumulator:
+    """Streaming genome-wide pair-count accumulator (distMat --windType cat).
+
+    The reference materializes the whole input for cat mode
+    (distMat.py:316-319; README.md:214 RAM warning); this feeds fixed-size
+    site blocks to the device as they stream in and keeps only the [H, H]
+    int64 accumulators on host — O(block) memory, one compiled shape for the
+    steady state plus a few pow2 buckets for the tail.  Pads with missing
+    (-1), which contributes nothing to called/shared/match, so no validity
+    mask is needed.  One block stays in flight so device compute overlaps
+    the next chunk's parse."""
+
+    def __init__(self, H: int, block: int = 1 << 18):
+        self.H, self.block = H, block
+        self.buf = np.empty((H, block), dtype=np.int8)
+        self.fill = 0
+        self.mism = np.zeros((H, H), dtype=np.int64)
+        self.shar = np.zeros((H, H), dtype=np.int64)
+        self._pending = None
+
+    def _launch(self, arr: np.ndarray):
+        self._collect()
+        S = arr.shape[1]
+        sp = 1 << 10
+        while sp < S:
+            sp <<= 1
+        if sp != S:
+            pad = np.full((self.H, sp - S), -1, dtype=np.int8)
+            arr = np.concatenate([arr, pad], axis=1)
+        self._pending = pairwise_counts(
+            jax.device_put(arr[None]), jnp.ones((1, sp), dtype=bool))
+
+    def _collect(self):
+        if self._pending is not None:
+            m, s = self._pending
+            self.mism += np.asarray(m[0], dtype=np.int64)
+            self.shar += np.asarray(s[0], dtype=np.int64)
+            self._pending = None
+
+    def add(self, a: np.ndarray):
+        """Append int8 [H, n] sites; dispatches full blocks."""
+        n = a.shape[1]
+        off = 0
+        while n - off > 0:
+            take = min(self.block - self.fill, n - off)
+            self.buf[:, self.fill:self.fill + take] = a[:, off:off + take]
+            self.fill += take
+            off += take
+            if self.fill == self.block:
+                self._launch(self.buf.copy())
+                self.fill = 0
+
+    def finish(self):
+        """Flush the tail and return (mismatch, shared) int64 [H, H]."""
+        if self.fill:
+            self._launch(self.buf[:, :self.fill].copy())
+            self.fill = 0
+        self._collect()
+        return self.mism, self.shar
+
+
 def _tri_pack(m, s, s_max):
     # Upper-triangle-only fetch: both matrices are symmetric, so ship
     # H(H+1)/2 entries each instead of H^2, as uint16 when counts fit

@@ -27,6 +27,11 @@ CASES = [
      lambda o: ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
                 "-w", "50000", "-m", "50", "--outFormat", "phylip",
                 "-o", o + "o.phy"], ["o.phy"]),
+    ("dist_mat_cat", "genomics_general_tpu.cli.dist_mat",
+     lambda o: ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
+                "--windType", "cat", "--outFormat", "phylip",
+                "--windowDataOutFile", o + "o.data.tsv",
+                "-o", o + "o.phy"], ["o.phy", "o.data.tsv"]),
     ("dist_paint", "genomics_general_tpu.cli.dist_paint",
      lambda o: ["-g", str(D / "sim_paint.geno.gz"),
                 "-w", "50000", "-s", "25000", "-m", "50",
