@@ -259,11 +259,82 @@ def main(argv=None) -> int:
         tmp_dir = tempfile.mkdtemp(prefix="phyml_tmp", dir=args.tmp)
     rng = np.random.default_rng(args.seed)
 
+    def compute_window(aln, n_sites, prefix, bs_cols):
+        """Tree inference for one passing window (runs on a pool worker;
+        bootstrap column draws were taken from the seeded stream on the
+        main thread so the draw ORDER is identical at any -T)."""
+        trees = ["NA"] * (1 + args.bootstraps)
+        lnl = cvlnl = "NA"
+        if args.maxLDphase:
+            aln = max_ld_phase(aln, row_samples)
+        if use_builtin:
+            trees[0] = nj_window_tree(aln, hap_names, correct=args.njCorrect)
+            for b in range(args.bootstraps):
+                trees[1 + b] = nj_window_tree(aln[:, bs_cols[b]], hap_names,
+                                              correct=args.njCorrect)
+        else:
+            seqs = codes_to_rows(aln)
+            trees[0], lnl = phyml_tree(
+                seqs, hap_names, args.model, args.optimise,
+                args.phyml, prefix, tmp_dir=tmp_dir,
+                test=args.test, log=args.log)
+            for b in range(args.bootstraps):
+                trees[1 + b], _ = phyml_tree(
+                    codes_to_rows(aln[:, bs_cols[b]]), hap_names,
+                    args.model, args.optimise, args.phyml,
+                    prefix + str(b) + "_", tmp_dir=tmp_dir,
+                    test=args.test, log=args.log)
+            if args.crossVal:
+                half = int(round(n_sites / 2))
+                cvlnl = phyml_cross_val(
+                    codes_to_rows(aln[:, :half]),
+                    codes_to_rows(aln[:, half:]), hap_names,
+                    args.model, args.optimise, args.phyml,
+                    prefix, tmp_dir=tmp_dir, test=args.test,
+                    log=args.log)
+        return trees, lnl, cvlnl
+
+    def write_result(scaf, start, end, mid, n_sites, result):
+        trees, lnl, cvlnl = result
+        row = [scaf, str(start), str(end), mid, str(n_sites), str(lnl)]
+        if args.crossVal:
+            row.append(str(cvlnl))
+        if mh_data is not None:
+            mh_data.write_row(scaf, "\t".join(row) + "\n")
+            mh_trees.write_row(scaf, trees[0] + "\n")
+            for b, mw in enumerate(mh_bs):
+                mw.write_row(scaf, trees[1 + b] + "\n")
+        else:
+            data_file.write("\t".join(row) + "\n")
+            trees_file.write(trees[0] + "\n")
+            for b, bf in enumerate(bs_files):
+                bf.write(trees[1 + b] + "\n")
+
+    # -T worker pool: N windows infer concurrently (threads — the work is
+    # an external C binary, or GIL-releasing numpy for builtin-nj) with an
+    # ordered bounded reorder queue, the engine analog of the reference's
+    # backpressured worker pool + sorter (phyml_sliding_windows.py:396-421).
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    n_workers = max(1, args.threads)
+    pool = ThreadPoolExecutor(max_workers=n_workers) if n_workers > 1 else None
+    pending: deque = deque()      # (scaf, start, end, mid, n_sites, future|result)
+    max_pending = n_workers * 4
+
+    def drain(all_: bool = False):
+        def head_ready():
+            h = pending[0][5]
+            return not hasattr(h, "done") or h.done()
+        while pending and (all_ or len(pending) > max_pending or head_ready()):
+            scaf, start, end, mid, n_sites, res = pending.popleft()
+            if hasattr(res, "result"):
+                res = res.result()
+            write_result(scaf, start, end, mid, n_sites, res)
+
+    _NA = (["NA"] * (1 + args.bootstraps), "NA", "NA")
     windows_done = 0
     stop = False
     # stream flush batches: O(flush) memory with subprocess work per window
-    # (the reference streams windows with queue backpressure,
-    # phyml_sliding_windows.py:414-417; here the flush batch IS the bound)
     from .. import engine
     for batch in engine.stream_windows(reader, wind, include=include,
                                        exclude=exclude,
@@ -283,71 +354,43 @@ def main(argv=None) -> int:
                 end = int(batch.positions[l - 1])
             mid = "nan" if np.isnan(mids[w]) else str(int(mids[w]))
             prefix = f"{scaf}_{start}_{end}_"
-            trees = ["NA"] * (1 + args.bootstraps)
-            lnl = cvlnl = "NA"
+            passing = False
             if n_sites >= min_sites:
                 aln = batch.alleles[:, f:l]
                 sites_per_ind = (aln >= 0).sum(axis=1)
                 n_snps = None
                 if args.minSNPs is not None:
+                    # variable-site count vs each column's first called base
                     sub = aln[non_out_rows]
-                    var = 0
-                    for s in range(n_sites):
-                        col = sub[:, s]
-                        col = col[col >= 0]
-                        if col.size and (col != col[0]).any():
-                            var += 1
-                    n_snps = var
-                if sites_per_ind.min() >= min_per_ind and \
-                        (n_snps is None or n_snps >= args.minSNPs):
-                    if args.maxLDphase:
-                        aln = max_ld_phase(aln, row_samples)
-                    if use_builtin:
-                        trees[0] = nj_window_tree(aln, hap_names,
-                                                  correct=args.njCorrect)
-                        for b in range(args.bootstraps):
-                            cols = rng.integers(0, n_sites, n_sites)
-                            trees[1 + b] = nj_window_tree(
-                                aln[:, cols], hap_names,
-                                correct=args.njCorrect)
-                    else:
-                        seqs = codes_to_rows(aln)
-                        trees[0], lnl = phyml_tree(
-                            seqs, hap_names, args.model, args.optimise,
-                            args.phyml, prefix, tmp_dir=tmp_dir,
-                            test=args.test, log=args.log)
-                        for b in range(args.bootstraps):
-                            cols = rng.integers(0, n_sites, n_sites)
-                            trees[1 + b], _ = phyml_tree(
-                                codes_to_rows(aln[:, cols]), hap_names,
-                                args.model, args.optimise, args.phyml,
-                                prefix + str(b) + "_", tmp_dir=tmp_dir,
-                                test=args.test, log=args.log)
-                        if args.crossVal:
-                            half = int(round(n_sites / 2))
-                            cvlnl = phyml_cross_val(
-                                codes_to_rows(aln[:, :half]),
-                                codes_to_rows(aln[:, half:]), hap_names,
-                                args.model, args.optimise, args.phyml,
-                                prefix, tmp_dir=tmp_dir, test=args.test,
-                                log=args.log)
-            row = [scaf, str(start), str(end), mid, str(n_sites), str(lnl)]
-            if args.crossVal:
-                row.append(str(cvlnl))
-            if mh_data is not None:
-                mh_data.write_row(scaf, "\t".join(row) + "\n")
-                mh_trees.write_row(scaf, trees[0] + "\n")
-                for b, mw in enumerate(mh_bs):
-                    mw.write_row(scaf, trees[1 + b] + "\n")
+                    called = sub >= 0
+                    has = called.any(axis=0)
+                    ref = sub[np.argmax(called, axis=0),
+                              np.arange(n_sites)]
+                    n_snps = int((((sub != ref[None, :]) & called).any(axis=0)
+                                  & has).sum())
+                passing = sites_per_ind.min() >= min_per_ind and \
+                    (n_snps is None or n_snps >= args.minSNPs)
+            if passing:
+                # bootstrap draws come off the seeded stream HERE (in window
+                # order), not on the worker, so -T never changes them
+                bs_cols = [rng.integers(0, n_sites, n_sites)
+                           for _ in range(args.bootstraps)]
+                if pool is not None:
+                    res = pool.submit(compute_window, aln, n_sites, prefix,
+                                      bs_cols)
+                else:
+                    res = compute_window(aln, n_sites, prefix, bs_cols)
             else:
-                data_file.write("\t".join(row) + "\n")
-                trees_file.write(trees[0] + "\n")
-                for b, bf in enumerate(bs_files):
-                    bf.write(trees[1 + b] + "\n")
+                res = _NA
+            pending.append((scaf, start, end, mid, n_sites, res))
+            drain()
             windows_done += 1
             if args.test and windows_done == 10:
                 stop = True
                 break
+    drain(all_=True)
+    if pool is not None:
+        pool.shutdown()
 
     if mh_data is not None:
         rank0 = multihost.process_index() == 0

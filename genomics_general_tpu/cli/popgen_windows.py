@@ -43,11 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("popFreq", "popDist", "popPairDist", "indPairDist",
                             "indHet", "hapStats"),
                    default=("popDist", "popPairDist"))
-    p.add_argument("--fstMethod", action="store", choices=("ref", "WC"),
-                   default="ref",
+    p.add_argument("--fstMethod", action="store",
+                   choices=("ref", "WC", "Hudson"), default="ref",
                    help="Fst estimator: 'ref' = 1 - pi_s/pi_t like the "
-                        "reference; 'WC' adds Weir-Cockerham (1984) columns "
-                        "(engine extension).")
+                        "reference; 'WC' adds Weir-Cockerham (1984) columns; "
+                        "'Hudson' adds Hudson/Bhatia 1 - Hw/Hb columns "
+                        "(engine extensions).")
     p.add_argument("--hapDist", type=float, default=0)
     p.add_argument("--roundTo", type=int, default=4)
     common.add_io_args(p)
@@ -102,6 +103,9 @@ def main(argv=None) -> int:
         if args.fstMethod == "WC":
             stats += ["FstWC_" + x + "_" + y
                       for x, y in itertools.combinations(pop_names, 2)]
+        if args.fstMethod == "Hudson":
+            stats += ["FstHud_" + x + "_" + y
+                      for x, y in itertools.combinations(pop_names, 2)]
     if "indPairDist" in analysis:
         stats += ["_".join(["d", i, j])
                   for i, j in itertools.combinations_with_replacement(sorted(all_inds), 2)]
@@ -116,6 +120,7 @@ def main(argv=None) -> int:
                     ("popDist", "popPairDist", "indPairDist", "indHet", "hapStats"))
     need_freq = "popFreq" in analysis
     need_wc = need_dist and args.fstMethod == "WC" and "popPairDist" in analysis
+    need_hud = args.fstMethod == "Hudson" and "popPairDist" in analysis
 
     # ---- runtime setup
     mesh = common.get_mesh()
@@ -353,6 +358,9 @@ def main(argv=None) -> int:
                 if "hapStats" in analysis:
                     values.update(popgen.h12_stats(ctx, model.row_group,
                                                    args.hapDist))
+
+        if need_hud:
+            values.update(popgen.hudson_fst_from_stats(values, pop_names))
 
         if need_freq or need_wc:
             needed = batch.needed_end

@@ -96,6 +96,9 @@ def main(argv=None) -> int:
     min_per_ind = args.minPerInd if args.minPerInd else min_sites
     outgroup = args.outgroup.split(",") if args.outgroup else []
 
+    from ..parallel import multihost
+    multihost.maybe_initialize()
+
     src = args.genoFile if args.genoFile else sys.stdin
     probe = geno_io.GenoReader(src, geno_format="phased")
     names = args.individuals.split(",") if args.individuals \
@@ -107,19 +110,73 @@ def main(argv=None) -> int:
     non_out_rows = np.array([i for i, s in enumerate(model.row_sample)
                              if s not in outgroup], dtype=np.int64)
 
-    data_file = open(args.prefix + ".data.tsv", "wt")
-    data_file.write("\t".join(["scaffold", "start", "end", "mid",
-                               "sites"]) + "\n")
-    trees_file = gzip.open(args.prefix + ".trees.gz", "wt")
+    heads = ["scaffold", "start", "end", "mid", "sites"]
+    n_procs = multihost.process_count()
+    if n_procs > 1:
+        # scaffold-sharded tree inference (same layout as phyml): each host
+        # infers the windows of the scaffolds it owns; data and tree rows
+        # gather to host-0 writers in matching per-scaffold order
+        shard_pred = multihost.shard_predicate(n_procs,
+                                               multihost.process_index())
+        mh_data = multihost.MultiHostWriter()
+        mh_trees = multihost.MultiHostWriter()
+        data_file = trees_file = None
+    else:
+        shard_pred = None
+        mh_data = mh_trees = None
+        data_file = open(args.prefix + ".data.tsv", "wt")
+        data_file.write("\t".join(heads) + "\n")
+        trees_file = gzip.open(args.prefix + ".trees.gz", "wt")
     use_builtin = args.raxml == "builtin-nj"
     tmp_dir = args.tmp or "."
+
+    def compute_window(aln, scaf, start, end):
+        if use_builtin:
+            return nj_window_tree(aln, hap_names,
+                                  correct=args.njCorrect) + "\n"
+        prefix = f"{scaf}_{start}_{end}_"
+        return rax_tree(codes_to_rows(aln), hap_names, args.model,
+                        args.raxml, outgroup or None, prefix,
+                        tmp_dir=tmp_dir, test=args.test, log=args.log)
+
+    def write_result(scaf, start, end, mid, n_sites, tree):
+        row = "\t".join([scaf, str(start), str(end), mid,
+                         str(n_sites)]) + "\n"
+        tree = tree if tree.endswith("\n") else tree + "\n"
+        if mh_data is not None:
+            mh_data.write_row(scaf, row)
+            mh_trees.write_row(scaf, tree)
+        else:
+            data_file.write(row)
+            trees_file.write(tree)
+
+    # -T worker pool with an ordered bounded reorder queue (the reference's
+    # raxml script has the same worker/sorter architecture,
+    # raxml_sliding_windows.py:47-65)
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    n_workers = max(1, args.threads)
+    pool = ThreadPoolExecutor(max_workers=n_workers) if n_workers > 1 else None
+    pending: deque = deque()
+    max_pending = n_workers * 4
+
+    def drain(all_: bool = False):
+        def head_ready():
+            h = pending[0][5]
+            return not hasattr(h, "done") or h.done()
+        while pending and (all_ or len(pending) > max_pending or head_ready()):
+            scaf, start, end, mid, n_sites, res = pending.popleft()
+            if hasattr(res, "result"):
+                res = res.result()
+            write_result(scaf, start, end, mid, n_sites, res)
 
     # stream flush batches (O(flush) memory; subprocess work per window)
     from .. import engine
     for batch in engine.stream_windows(
             reader, wind,
             include=common.read_scaffold_list(args.include),
-            exclude=common.read_scaffold_list(args.exclude)):
+            exclude=common.read_scaffold_list(args.exclude),
+            scaffold_pred=shard_pred):
         plan = batch.plan
         mids = plan.mid(batch.positions)
         for w in range(plan.n_windows):
@@ -132,35 +189,44 @@ def main(argv=None) -> int:
                 start = int(batch.positions[f])
                 end = int(batch.positions[l - 1])
             mid = "nan" if np.isnan(mids[w]) else str(int(mids[w]))
-            tree = "NA\n"
+            ok = False
             if n_sites >= min_sites:
                 aln = batch.alleles[:, f:l]
                 sites_per_ind = (aln >= 0).sum(axis=1)
                 ok = sites_per_ind.min() >= min_per_ind
                 if ok and args.minSNPs is not None:
                     sub = aln[non_out_rows]
-                    var = 0
-                    for s in range(n_sites):
-                        col = sub[:, s]
-                        col = col[col >= 0]
-                        if col.size and (col != col[0]).any():
-                            var += 1
+                    called = sub >= 0
+                    has = called.any(axis=0)
+                    ref = sub[np.argmax(called, axis=0),
+                              np.arange(n_sites)]
+                    var = int((((sub != ref[None, :]) & called).any(axis=0)
+                               & has).sum())
                     ok = var >= args.minSNPs
-                if ok:
-                    if use_builtin:
-                        tree = nj_window_tree(aln, hap_names,
-                                              correct=args.njCorrect) + "\n"
-                    else:
-                        prefix = f"{scaf}_{start}_{end}_"
-                        tree = rax_tree(codes_to_rows(aln), hap_names,
-                                        args.model, args.raxml,
-                                        outgroup or None, prefix,
-                                        tmp_dir=tmp_dir, test=args.test,
-                                        log=args.log)
-            data_file.write("\t".join([scaf, str(start), str(end), mid,
-                                       str(n_sites)]) + "\n")
-            trees_file.write(tree if tree.endswith("\n") else tree + "\n")
+            if ok:
+                if pool is not None:
+                    res = pool.submit(compute_window, aln, scaf, start, end)
+                else:
+                    res = compute_window(aln, scaf, start, end)
+            else:
+                res = "NA\n"
+            pending.append((scaf, start, end, mid, n_sites, res))
+            drain()
+    drain(all_=True)
+    if pool is not None:
+        pool.shutdown()
 
+    if mh_data is not None:
+        rank0 = multihost.process_index() == 0
+        df = open(args.prefix + ".data.tsv", "wt") if rank0 else None
+        mh_data.finish(df, "\t".join(heads) + "\n", reader.scaffold_names)
+        if df is not None:
+            df.close()
+        tf = gzip.open(args.prefix + ".trees.gz", "wt") if rank0 else None
+        mh_trees.finish(tf, "", reader.scaffold_names)
+        if tf is not None:
+            tf.close()
+        return 0
     data_file.close()
     trees_file.close()
     return 0

@@ -324,10 +324,16 @@ def _fused_flush_pair_v2(buf: jnp.ndarray, pop_mask: jnp.ndarray,
     if mode == "blocks_het":
         # raw (mismatch, shared) for each individual's own haplotype pair —
         # the host needs the untouched shared count to replicate sampleHet's
-        # bitwise-guard quirk (genomics.py:924)
+        # bitwise-guard quirk (genomics.py:924).  Packed into ONE output
+        # array with the blocks: the tunnel's per-transfer latency (~25-50
+        # ms RTT) dominates these small payloads, so one fetch beats two
+        # (het counts are < 2^53, exact in f64)
         r1, r2 = het_rows[0], het_rows[1]
         het = jnp.stack([m[:, r1, r2], s[:, r1, r2]], axis=-1)  # [wp, I, 2]
-        return blocks, het
+        P = pop_mask.shape[0]
+        return jnp.concatenate(
+            [blocks.reshape(wp, 2 * P * P),
+             het.astype(jnp.float64).reshape(wp, -1)], axis=1)
     return blocks
 
 
@@ -376,6 +382,16 @@ def _v2_flush_args(alleles: np.ndarray, first: np.ndarray,
 _NO_POPS = np.zeros((1, 1), dtype=np.float64)
 
 
+def _start_fetch(arr):
+    """Kick off the device->host copy as soon as the producing computation
+    finishes, so the transfer overlaps the pipeline instead of starting at
+    the (one batch later) blocking collect()."""
+    try:
+        arr.copy_to_host_async()
+    except (AttributeError, RuntimeError):
+        pass
+
+
 def _dispatch_fused(alleles: np.ndarray, first: np.ndarray,
                     n_sites: np.ndarray) -> "PairCountsHandle":
     """Host-span fast path: exactly one H2D transfer and one D2H transfer per
@@ -390,6 +406,7 @@ def _dispatch_fused(alleles: np.ndarray, first: np.ndarray,
     out = _fused_flush_pair_v2(jax.device_put(buf), _NO_POPS,
                                jnp.int32(0), Sp, H, wp, s_max, chunk, ep,
                                "tri")
+    _start_fetch(out)
     handle.pending.append((np.arange(W), W, out))
     return handle
 
@@ -440,27 +457,32 @@ def window_pair_block_stats_dispatch(alleles: np.ndarray, first: np.ndarray,
         out = _fused_flush_pair_v2(
             jax.device_put(buf), jnp.asarray(pop_mask.astype(np.float64)),
             jnp.int32(min_sites or 0), Sp, H, wp, s_max, chunk, ep, "blocks")
+    _start_fetch(out)
     handle.pending.append((np.arange(W), W, out))
     return handle
 
 
 class PairBlocksHetHandle:
-    """In-flight (blocks, het) results of the ``blocks_het`` fused mode.
+    """In-flight packed (blocks | het) results of the ``blocks_het`` fused
+    mode (one [wp, 2*P*P + 2*I] f64 array per flush; the copy-to-host was
+    started asynchronously at dispatch).
 
-    ``collect()`` -> (sums f64 [W, I, I], cnts f64 [W, I, I],
-    het_m int32 [W, I], het_s int32 [W, I]) where I = individuals; blocks
-    are per-individual-pair (pop blocks are exact aggregations of them)."""
+    ``collect()`` -> (sums f64 [W, P, P], cnts f64 [W, P, P],
+    het_m int32 [W, I], het_s int32 [W, I]); P is the mask's block count
+    (populations, or individuals for the indPairDist path — pop blocks are
+    exact aggregations of individual blocks)."""
 
-    def __init__(self, W: int, pending: list):
-        self.W, self.pending = W, pending
+    def __init__(self, W: int, P: int, pending: list):
+        self.W, self.P, self.pending = W, P, pending
 
     def collect(self):
-        blocks, het = self.pending[0]
-        blocks = np.asarray(blocks)[:self.W]
-        het = np.asarray(het)[:self.W]
+        host = np.asarray(self.pending[0])[:self.W]
         self.pending = []
+        P = self.P
+        blocks = host[:, :2 * P * P].reshape(self.W, 2, P, P)
+        het = host[:, 2 * P * P:].reshape(self.W, -1, 2)
         return (blocks[:, 0], blocks[:, 1],
-                het[..., 0], het[..., 1])
+                het[..., 0].astype(np.int64), het[..., 1].astype(np.int64))
 
 
 def window_pair_ind_blocks_dispatch(alleles: np.ndarray, first: np.ndarray,
@@ -480,7 +502,7 @@ def window_pair_ind_blocks_dispatch(alleles: np.ndarray, first: np.ndarray,
     (any pair for non-diploids — the host overwrites their het with NaN).
     """
     W = first.shape[0]
-    handle = PairBlocksHetHandle(W, [])
+    handle = PairBlocksHetHandle(W, ind_mask.shape[0], [])
     if W == 0:
         return handle
     buf, Sp, H, wp, s_max, chunk, ep = _v2_flush_args(alleles, first, n_sites)
@@ -489,6 +511,7 @@ def window_pair_ind_blocks_dispatch(alleles: np.ndarray, first: np.ndarray,
             jax.device_put(buf), jnp.asarray(ind_mask.astype(np.float64)),
             jnp.int32(min_sites or 0), Sp, H, wp, s_max, chunk, ep,
             "blocks_het", het_rows=jnp.asarray(het_rows, dtype=jnp.int32))
+    _start_fetch(out)
     handle.pending.append(out)
     return handle
 

@@ -160,6 +160,27 @@ def group_dist_stats_from_blocks(sums: np.ndarray, cnts: np.ndarray,
     return out
 
 
+def hudson_fst_from_stats(values: dict, pop_names: list[str]) -> dict:
+    """Hudson's Fst estimator (Hudson et al. 1992; Bhatia et al. 2013
+    "ratio of averages" form) from the already-computed window stats:
+
+        Fst_H = 1 - Hw / Hb,   Hw = (pi_x + pi_y) / 2,   Hb = dxy_x_y
+
+    pi from mean pairwise differences IS Hudson's unbiased within-population
+    heterozygosity (the n/(n-1) correction is implicit in excluding
+    self-pairs), and dxy is exactly Hb.  Engine extension beyond the
+    reference (whose only Fst is 1 - pi_s/pi_t, genomics.py:987-993),
+    labeled FstHud_* ; NaN gates from pi/dxy propagate."""
+    import itertools
+    out = {}
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for x, y in itertools.combinations(pop_names, 2):
+            hw = 0.5 * (values["pi_" + x] + values["pi_" + y])
+            hb = values["dxy_" + x + "_" + y]
+            out["FstHud_" + x + "_" + y] = 1 - hw / hb
+    return out
+
+
 def sample_het(ctx: DistStatsContext, sample_names: list[str],
                sample_rows: list[np.ndarray], min_sites: int | None = None) -> dict:
     """Reference Alignment.sampleHet (genomics.py:918-929), including the

@@ -308,3 +308,38 @@ def test_two_process_predefined_interleaved_ghost(tmp_path):
     run_single_vs_two(tmp_path, [
         "--windType", "predefined", "--windCoords", str(wc), "-m", "50",
         "--addWindowID", "--analysis", "popDist", "popPairDist"])
+
+
+def test_two_process_raxml_nj(tmp_path):
+    """Scaffold-sharded raxml_sliding_windows (builtin NJ backend, -T 2
+    worker pool on each host): data.tsv and trees.gz match 1-process."""
+    def argv(prefix):
+        return [sys.executable, "-m",
+                "genomics_general_tpu.cli.raxml_sliding_windows",
+                "-g", str(D / "sim1.geno.gz"), "--windType", "coordinate",
+                "-w", "50000", "-M", "10", "--raxml", "builtin-nj",
+                "-T", "2", "-p", prefix]
+
+    single = str(tmp_path / "single")
+    r = subprocess.run(argv(single), env=_clean_env({}),
+                       capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    dist = str(tmp_path / "dist")
+    port = _free_port()
+    procs = [subprocess.Popen(
+        argv(dist),
+        env=_clean_env({"GGT_COORDINATOR": f"127.0.0.1:{port}",
+                        "GGT_NUM_PROCS": "2", "GGT_PROC_ID": str(pid)}),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE) for pid in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    import gzip as _gzip
+    assert Path(single + ".data.tsv").read_bytes() == \
+        Path(dist + ".data.tsv").read_bytes()
+    with _gzip.open(single + ".trees.gz") as a, \
+            _gzip.open(dist + ".trees.gz") as b:
+        sa, sb = a.read(), b.read()
+    assert sa and sa == sb

@@ -111,6 +111,25 @@ def test_phyml_sliding_windows_builtin_nj(tmp_path):
         assert "pop1_ind1_A" in t
 
 
+def test_phyml_thread_pool_deterministic(tmp_path):
+    """-T 4 must produce byte-identical outputs to -T 1: the ordered
+    reorder queue preserves window order and bootstrap draws come off the
+    seeded stream on the main thread."""
+    outs = {}
+    for t in ("1", "4"):
+        prefix = str(tmp_path / ("t" + t))
+        run_cli("genomics_general_tpu.cli.phyml_sliding_windows",
+                ["-g", str(D / "sim1.geno.gz"), "-p", prefix,
+                 "-w", "50000", "-M", "100", "--phyml", "builtin-nj",
+                 "--bootstraps", "2", "--seed", "7", "-T", t])
+        outs[t] = (
+            Path(prefix + ".data.tsv").read_bytes(),
+            gzip.open(prefix + ".trees.gz", "rb").read(),
+            gzip.open(prefix + ".BS0.trees.gz", "rb").read(),
+            gzip.open(prefix + ".BS1.trees.gz", "rb").read())
+    assert outs["1"] == outs["4"]
+
+
 def test_raxml_sliding_windows_builtin_nj(tmp_path):
     prefix = str(tmp_path / "rx")
     run_cli("genomics_general_tpu.cli.raxml_sliding_windows",
@@ -120,3 +139,40 @@ def test_raxml_sliding_windows_builtin_nj(tmp_path):
     trees = gzip.open(prefix + ".trees.gz", "rt").read().rstrip("\n").split("\n")
     assert len(trees) == len(data) - 1
     assert any(t != "NA" for t in trees)
+
+
+def test_phyml_pool_concurrency(tmp_path):
+    """-T 4 runs external-binary windows concurrently: with a sleep-bound
+    fake phyml, 4 workers must beat serial wall time clearly (the work is
+    pure sleep, so this is robust to host-load noise)."""
+    import stat
+    import time
+    fake = tmp_path / "fakephyml"
+    fake.write_text(
+        "#!/bin/sh\n"
+        "# parse --input <file>; emit a tree + stats like phyml does\n"
+        'in=""\n'
+        'while [ $# -gt 0 ]; do\n'
+        '  if [ "$1" = "--input" ]; then in="$2"; shift; fi\n'
+        "  shift\n"
+        "done\n"
+        "sleep 0.3\n"
+        'echo "(a,b);" > "${in}_phyml_tree.txt"\n'
+        'echo "Log-likelihood: -123.4" > "${in}_phyml_stats.txt"\n')
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    walls = {}
+    outs = {}
+    for t in ("1", "4"):
+        prefix = str(tmp_path / ("p" + t))
+        t0 = time.perf_counter()
+        run_cli("genomics_general_tpu.cli.phyml_sliding_windows",
+                ["-g", str(D / "sim1.geno.gz"), "-p", prefix,
+                 "-w", "50000", "-M", "10", "--phyml", str(fake),
+                 "--tmp", str(tmp_path), "-T", t])
+        walls[t] = time.perf_counter() - t0
+        outs[t] = (Path(prefix + ".data.tsv").read_bytes(),
+                   gzip.open(prefix + ".trees.gz", "rb").read())
+    assert outs["1"] == outs["4"]
+    assert b"(a,b);" in outs["1"][1]
+    assert b"-123.4" in outs["1"][0]
+    assert walls["4"] < walls["1"] * 0.55, walls
