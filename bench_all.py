@@ -49,6 +49,39 @@ def host_weather() -> float:
     return round(64 / dt, 1)
 
 
+VCF_SITES = int(os.environ.get("BENCH_VCF_SITES", 300_000))
+VCF_REF_SITES = int(os.environ.get("BENCH_VCF_REF_SITES", 8_000))
+
+
+def ensure_vcf_data():
+    """Synthetic VCF (SNPs/indels/multiallelic/missing/dups, DP+GQ fields)
+    for the ingest config, plus a small subset for the reference
+    denominator."""
+    CACHE.mkdir(exist_ok=True)
+    vcf = CACHE / f"bench_{VCF_SITES}.vcf.gz"
+    sub = CACHE / f"bench_vcfref_{VCF_REF_SITES}.vcf.gz"
+    if not vcf.exists():
+        from tests.gen_fixtures import simulate_vcf
+        simulate_vcf(vcf, n_samples=20, seed=23,
+                     scaffolds=tuple((f"chr{i+1}", 40_000_000)
+                                     for i in range(4)),
+                     n_sites_per_scaf=VCF_SITES // 4)
+    if not sub.exists():
+        import gzip
+        with gzip.open(vcf, "rb") as f:
+            lines = []
+            data = 0
+            for ln in f:
+                lines.append(ln)
+                if not ln.startswith(b"#"):
+                    data += 1
+                    if data >= VCF_REF_SITES:
+                        break
+        with gzip.open(sub, "wb", compresslevel=4) as f:
+            f.writelines(lines)
+    return vcf, sub
+
+
 def ensure_data():
     CACHE.mkdir(exist_ok=True)
     geno = CACHE / f"bench_v3_{SITES}.geno.gz"
@@ -115,10 +148,22 @@ def config_cmds(geno, pops, wc, out_dir):
 
     Each config is a list of pipeline steps; sites/s uses the dataset site
     count over the summed step time.
+
+    parsevcf: VCF->geno ingest.  The denominator is reference parseVCF.py
+    single-thread — the identical per-line pipeline that parseVCFs.py exists
+    to parallelize (VCF_processing/README.md:31-43); parseVCFs itself needs
+    real tabix+bgzip indexes this image lacks.  A speedup of S implies the
+    engine also beats a perfectly-scaling reference -T N for any N < S.
     """
     o = lambda n: str(Path(out_dir) / n)  # noqa: E731
     g = str(geno)
+    vcf, _vcf_sub = ensure_vcf_data()
     return {
+        "parsevcf": [(
+            "genomics_general_tpu.cli.parse_vcfs",
+            ["-i", str(vcf), "-t", "2", "-o", o("parsevcf.geno")],
+            "VCF_processing/parseVCF.py",
+            ["-i", "VCFSUB", "-o", o("ref_parsevcf.geno")])],
         "popgen": [(
             "genomics_general_tpu.cli.popgen_windows",
             ["-g", g, "-f", "phased", "-w", "50000", "-m", "100",
@@ -267,9 +312,12 @@ def main():
     doc = load_results()
     results = doc["results"]
     only = set(sys.argv[1:])
+    per_cfg_sites = {"parsevcf": (VCF_SITES, VCF_REF_SITES)}
     for name, steps in config_cmds(geno, pops, wc, out_dir).items():
         if only and name not in only:
             continue
+        cfg_sites, cfg_ref_sites = per_cfg_sites.get(name,
+                                                     (SITES, REF_SITES))
         weather0 = host_weather()
         # warm-up (compiles), then N_RUNS engine/reference pairs INTERLEAVED
         # so both sides sample the same host-weather distribution (the box's
@@ -301,7 +349,9 @@ def main():
                     rargs = swap_input(rargs, wc, wc_sub)
                     rargs += thread_flag.get(script, ["-T", "1"])
                 else:
-                    rargs = swap_input(ref_args, "SUB", sub)
+                    rargs = swap_input(ref_args, "VCFSUB",
+                                       ensure_vcf_data()[1])
+                    rargs = swap_input(rargs, "SUB", sub)
                 d = run_ref_step(script, rargs)
                 if d is None:
                     ok = False
@@ -311,13 +361,15 @@ def main():
             if ok:
                 ref_times.append(dt)
         eng_dt = statistics.median(times)
-        eng_sps = SITES / eng_dt
+        eng_sps = cfg_sites / eng_dt
         ref_sps = None
         if ref_times:
-            ref_sps = REF_SITES / statistics.median(ref_times)
+            ref_sps = cfg_ref_sites / statistics.median(ref_times)
 
         row = {
             "config": name,
+            "sites": cfg_sites,
+            "ref_sites": cfg_ref_sites,
             "engine_sites_per_s": round(eng_sps, 1),
             "engine_runs_s": [round(t, 3) for t in times],
             "ref_sites_per_s": round(ref_sps, 1) if ref_sps else None,

@@ -758,6 +758,394 @@ int64_t format_window_csv(
   return off;
 }
 
+// VCF -> .geno line converter (the parseVCF/parseVCFs hot loop,
+// /root/reference/VCF_processing/parseVCF.py:49-190: per-line field split,
+// FORMAT/GT extraction, allele-index -> base lookup, ploidy checks, numeric
+// genotype filters).  Handles the common fast case and BAILS per line for
+// anything unusual (structural surprises, ploidy mismatches that must
+// raise); Python re-parses the bail line with the full VcfSite path and
+// resumes after it, so semantics are identical line by line.
+//
+// Grammar: CHROM \t POS \t ID \t REF \t ALT \t QUAL \t FILTER \t INFO \t
+//          FORMAT \t S1 .. Sn \n
+//
+// Options mirror the CLI: min_qual (NaN = off: skip line when QUAL parses
+// as float and < min_qual), max_ref_len (0 = off), skip_indels
+// (mustMatchREFlen), keep_partial, ploidy_mismatch_to_missing, add_ref
+// (REF column), drop_dups (excludeDuplicates: prev CHROM/POS carried across
+// chunks), sorted_drop (parseVCFs semantics: also drop POS <= prev within a
+// scaffold), numeric gt filters (flag index resolved per line from FORMAT;
+// fail -> all-missing genotype, reference parseVCF.py:125-138).
+//
+// Outputs: geno text rows + scaffold run breaks (line, name_off, name_len,
+// out_off) so the caller can drop include/exclude runs by slicing bytes.
+// Returns 0 = done; >0 = byte offset+1 of a bail line (consumed/written
+// reflect everything before it); -1 = break table full; -5 = output buffer
+// full (resume from *consumed_out).
+extern "C" int64_t vcf_to_geno_chunk(
+    const uint8_t* buf, int64_t len,
+    int32_t n_samples, const int32_t* sel, int32_t n_sel,
+    const int32_t* ploidy,
+    const uint8_t* missing, int64_t missing_len,
+    int32_t skip_indels, int32_t keep_partial,
+    int32_t ploidy_mismatch_to_missing, int32_t add_ref,
+    int32_t drop_dups, int32_t sorted_drop,
+    double min_qual, int64_t max_ref_len,
+    int32_t n_filt, const uint8_t* filt_flags, const int64_t* filt_flag_len,
+    const double* filt_min, const double* filt_max,
+    uint8_t out_sep,
+    const uint8_t* prev_name, int64_t prev_name_len, int64_t prev_pos_in,
+    const uint8_t* out_prev_name, int64_t out_prev_name_len,
+    uint8_t* out, int64_t out_cap,
+    int64_t* breaks, int64_t max_breaks,
+    int64_t* n_breaks_out, int64_t* consumed_out, int64_t* written_out,
+    int64_t* prev_pos_out) {
+  int64_t i = 0, off = 0, n_breaks = 0;
+  const uint8_t* cur_name = prev_name;       // walk scaffold (dup logic)
+  int64_t cur_name_len = prev_name_len;
+  const uint8_t* owr_name = out_prev_name;   // scaffold of last WRITTEN row
+  int64_t owr_name_len = out_prev_name_len;
+  int64_t prev_pos = prev_pos_in;
+  int64_t line_idx = 0;
+  // per-filter offsets into the concatenated filt_flags buffer
+  int64_t filt_off[8];
+  {
+    int64_t acc = 0;
+    for (int q = 0; q < n_filt && q < 8; ++q) { filt_off[q] = acc; acc += filt_flag_len[q]; }
+  }
+  // scratch: allele spans (REF + ALTs), max 64 alleles on the fast path
+  const int MAXA = 64;
+  const uint8_t* a_ptr[MAXA];
+  int64_t a_len[MAXA];
+  #define LINE_BAIL() { *n_breaks_out = n_breaks; *consumed_out = line_start; \
+    *written_out = off; *prev_pos_out = prev_pos; return line_start + 1; }
+  while (i < len) {
+    int64_t line_start = i;
+    if (buf[i] == '#') { while (i < len && buf[i] != '\n') ++i; ++i; continue; }
+    if (buf[i] == '\n') { ++i; continue; }
+    // locate the 9 fixed fields + sample fields
+    const uint8_t* f_ptr[9];
+    int64_t f_len[9];
+    bool ok_line = true;
+    for (int fidx = 0; fidx < 9; ++fidx) {
+      f_ptr[fidx] = buf + i;
+      int64_t s0 = i;
+      while (i < len && buf[i] != '\t' && buf[i] != '\n') ++i;
+      f_len[fidx] = i - s0;
+      if (i >= len || buf[i] != '\t') { ok_line = false; break; }
+      ++i;
+    }
+    if (!ok_line) LINE_BAIL();
+    int64_t samples_start = i;     // first sample field
+    // find end of line and sample field offsets
+    // (record offsets of all n_samples fields)
+    // sample field spans are found lazily below; first find line end
+    // POS
+    int64_t pos = 0;
+    {
+      const uint8_t* p = f_ptr[1];
+      int64_t n = f_len[1];
+      if (n == 0) LINE_BAIL();
+      if (n > 1 && p[0] == '0') LINE_BAIL();  // the reference's duplicate
+      for (int64_t k = 0; k < n; ++k) {       // check compares POS as text
+        if (p[k] < '0' || p[k] > '9') LINE_BAIL();
+        pos = pos * 10 + (p[k] - '0');
+      }
+    }
+    // scaffold-run tracking
+    bool new_scaf = (cur_name_len != f_len[0] ||
+                     cur_name == nullptr ||
+                     memcmp(f_ptr[0], cur_name, (size_t)f_len[0]) != 0);
+    // duplicate / stale drops need the PREVIOUS position on the SAME
+    // scaffold
+    if (!new_scaf && prev_pos >= 0) {
+      if (drop_dups && pos == prev_pos) {
+        while (i < len && buf[i] != '\n') ++i;
+        ++i;
+        continue;
+      }
+      if (sorted_drop && pos <= prev_pos) {
+        while (i < len && buf[i] != '\n') ++i;
+        ++i;
+        continue;
+      }
+    }
+    // QUAL gate (reference: skip when parseable and < minQual)
+    if (min_qual == min_qual) {
+      char tmp[64];
+      int64_t n = f_len[5] < 63 ? f_len[5] : 63;
+      memcpy(tmp, f_ptr[5], (size_t)n);
+      tmp[n] = 0;
+      char* endp = nullptr;
+      double q = strtod(tmp, &endp);
+      if (endp == tmp + n && n > 0 && q < min_qual) {
+        while (i < len && buf[i] != '\n') ++i;
+        ++i;
+        // a dropped line still advances the walk (duplicate suppression
+        // happens before the QUAL gate in the reference)
+        if (new_scaf) { cur_name = f_ptr[0]; cur_name_len = f_len[0]; }
+        prev_pos = pos;
+        continue;
+      }
+    }
+    // REF length gates
+    int64_t ref_len = f_len[3];
+    if (max_ref_len && ref_len > max_ref_len) {
+      while (i < len && buf[i] != '\n') ++i;
+      ++i;
+      if (new_scaf) { cur_name = f_ptr[0]; cur_name_len = f_len[0]; }
+      prev_pos = pos;
+      continue;
+    }
+    // alleles: REF + comma-split ALT ('.' => none)
+    int n_all = 0;
+    a_ptr[n_all] = f_ptr[3]; a_len[n_all] = ref_len; ++n_all;
+    if (!(f_len[4] == 1 && f_ptr[4][0] == '.')) {
+      const uint8_t* p = f_ptr[4];
+      int64_t n = f_len[4];
+      int64_t s0 = 0;
+      for (int64_t k = 0; k <= n; ++k) {
+        if (k == n || p[k] == ',') {
+          if (n_all >= MAXA) LINE_BAIL();
+          a_ptr[n_all] = p + s0;
+          a_len[n_all] = k - s0;
+          ++n_all;
+          s0 = k + 1;
+        }
+      }
+    }
+    // FORMAT: GT index + filter flag indices
+    int gt_idx = -1;
+    int filt_idx[8];
+    for (int k = 0; k < n_filt; ++k) filt_idx[k] = -1;
+    {
+      const uint8_t* p = f_ptr[8];
+      int64_t n = f_len[8];
+      int fld = 0;
+      int64_t s0 = 0;
+      for (int64_t k = 0; k <= n; ++k) {
+        if (k == n || p[k] == ':') {
+          int64_t L = k - s0;
+          if (L == 2 && p[s0] == 'G' && p[s0 + 1] == 'T' && gt_idx < 0)
+            gt_idx = fld;
+          for (int q = 0; q < n_filt; ++q)
+            if (filt_idx[q] < 0 && L == filt_flag_len[q] &&
+                memcmp(p + s0, filt_flags + filt_off[q], (size_t)L) == 0)
+              filt_idx[q] = fld;
+          ++fld;
+          s0 = k + 1;
+        }
+      }
+    }
+    if (gt_idx < 0) LINE_BAIL();
+    // walk sample fields, remembering spans of the SELECTED ones
+    const uint8_t* s_ptr_all[1024];
+    int64_t s_len_all[1024];
+    if (n_samples > 1024) LINE_BAIL();
+    {
+      int32_t fld = 0;
+      int64_t s0 = i;
+      while (i <= len) {
+        if (i == len || buf[i] == '\t' || buf[i] == '\n') {
+          if (fld < n_samples) {
+            s_ptr_all[fld] = buf + s0;
+            s_len_all[fld] = i - s0;
+          }
+          ++fld;
+          s0 = i + 1;
+          if (i >= len || buf[i] == '\n') break;
+        }
+        ++i;
+      }
+      if (fld != n_samples) LINE_BAIL();
+    }
+    ++i;  // past newline
+    (void)samples_start;
+    // capacity check (worst case: per sample ploidy * (max allele len) +
+    // separators)
+    int64_t max_alen = 0;
+    for (int a = 0; a < n_all; ++a)
+      if (a_len[a] > max_alen) max_alen = a_len[a];
+    if (max_alen < missing_len) max_alen = missing_len;
+    int64_t worst = f_len[0] + 24 + (add_ref ? ref_len + 1 : 0);
+    for (int32_t j = 0; j < n_sel; ++j)
+      worst += 1 + (int64_t)ploidy[j] * (max_alen + 1);
+    if (off + worst > out_cap) {
+      *n_breaks_out = n_breaks; *consumed_out = line_start;
+      *written_out = off; *prev_pos_out = prev_pos;
+      return -5;
+    }
+    // ---- emit the row into a tentative region (rolled back on bail)
+    int64_t row_start = off;
+    memcpy(out + off, f_ptr[0], (size_t)f_len[0]); off += f_len[0];
+    out[off++] = out_sep;
+    memcpy(out + off, f_ptr[1], (size_t)f_len[1]); off += f_len[1];
+    if (add_ref) {
+      out[off++] = out_sep;
+      memcpy(out + off, f_ptr[3], (size_t)ref_len); off += ref_len;
+    }
+    bool bail = false;
+    for (int32_t j = 0; j < n_sel && !bail; ++j) {
+      const uint8_t* sf = s_ptr_all[sel[j]];
+      int64_t sn = s_len_all[sel[j]];
+      // subfield spans within the sample field
+      const uint8_t* gt_p = nullptr;
+      int64_t gt_n = 0;
+      const uint8_t* fv_p[8];
+      int64_t fv_n[8];
+      for (int q = 0; q < n_filt; ++q) { fv_p[q] = nullptr; fv_n[q] = 0; }
+      {
+        int fld = 0;
+        int64_t s0 = 0;
+        for (int64_t k = 0; k <= sn; ++k) {
+          if (k == sn || sf[k] == ':') {
+            if (fld == gt_idx) { gt_p = sf + s0; gt_n = k - s0; }
+            for (int q = 0; q < n_filt; ++q)
+              if (filt_idx[q] == fld) { fv_p[q] = sf + s0; fv_n[q] = k - s0; }
+            ++fld;
+            s0 = k + 1;
+          }
+        }
+      }
+      if (gt_p == nullptr) { bail = true; break; }   // GT column absent
+      // numeric filters -> passed
+      bool passed = true;
+      for (int q = 0; q < n_filt && passed; ++q) {
+        if (filt_idx[q] < 0 || fv_p[q] == nullptr) { passed = false; break; }
+        // comma-separated floats, all must be within [min, max]
+        char tmp[64];
+        int64_t s0 = 0;
+        const uint8_t* p = fv_p[q];
+        int64_t n = fv_n[q];
+        if (n == 0) { passed = false; break; }
+        for (int64_t k = 0; k <= n && passed; ++k) {
+          if (k == n || p[k] == ',') {
+            int64_t L = k - s0;
+            if (L <= 0 || L > 63) { passed = false; break; }
+            memcpy(tmp, p + s0, (size_t)L);
+            tmp[L] = 0;
+            char* endp = nullptr;
+            double v = strtod(tmp, &endp);
+            if (endp != tmp + L) { passed = false; break; }
+            if (!(filt_min[q] <= v) || !(v <= filt_max[q]))
+              passed = false;
+            s0 = k + 1;
+          }
+        }
+      }
+      // GT alleles: indices split on / or |
+      int idxs[16];
+      int n_al = 0;
+      char phase = '/';
+      {
+        int64_t s0 = 0;
+        for (int64_t k = 0; k <= gt_n; ++k) {
+          if (k == gt_n || gt_p[k] == '/' || gt_p[k] == '|') {
+            if (k < gt_n && gt_p[k] == '|') phase = '|';
+            int64_t L = k - s0;
+            if (n_al >= 16) { bail = true; break; }
+            if (L == 1 && gt_p[s0] == '.') {
+              idxs[n_al++] = -1;                      // '.' allele
+            } else if (L >= 1) {
+              int v = 0;
+              bool num = true;
+              for (int64_t t = s0; t < k; ++t) {
+                if (gt_p[t] < '0' || gt_p[t] > '9') { num = false; break; }
+                v = v * 10 + (gt_p[t] - '0');
+              }
+              if (!num) { bail = true; break; }
+              idxs[n_al++] = v;
+            } else {
+              bail = true; break;                     // empty allele token
+            }
+            s0 = k + 1;
+          }
+        }
+      }
+      if (bail) break;
+      int32_t want = ploidy[j];
+      if (n_al != want) {
+        if (ploidy_mismatch_to_missing) passed = false;
+        else { bail = true; break; }                  // reference raises
+      }
+      out[off++] = out_sep;
+      if (!passed) {
+        for (int32_t a = 0; a < want; ++a) {
+          if (a) out[off++] = phase;
+          memcpy(out + off, missing, (size_t)missing_len);
+          off += missing_len;
+        }
+        continue;
+      }
+      // resolve allele strings; any failure -> all missing (reference's
+      // except -> [missing]*ploidy, parseVCF.py:150-160)
+      bool any_missing = false;
+      const uint8_t* r_ptr[16];
+      int64_t r_len[16];
+      bool all_fail = false;
+      for (int a = 0; a < n_al; ++a) {
+        int v = idxs[a];
+        if (v < 0 || v >= n_all) { all_fail = true; break; }  // KeyError path
+        if (skip_indels && a_len[v] != ref_len) {
+          r_ptr[a] = missing; r_len[a] = missing_len;
+          any_missing = true;
+        } else {
+          r_ptr[a] = a_ptr[v]; r_len[a] = a_len[v];
+          if (a_len[v] == missing_len &&
+              memcmp(a_ptr[v], missing, (size_t)missing_len) == 0)
+            any_missing = true;       // an allele EQUAL to the missing text
+        }
+      }
+      if (all_fail || (!keep_partial && any_missing)) {
+        for (int32_t a = 0; a < want; ++a) {
+          if (a) out[off++] = phase;
+          memcpy(out + off, missing, (size_t)missing_len);
+          off += missing_len;
+        }
+        continue;
+      }
+      for (int a = 0; a < n_al; ++a) {
+        if (a) out[off++] = phase;
+        memcpy(out + off, r_ptr[a], (size_t)r_len[a]);
+        off += r_len[a];
+      }
+    }
+    if (bail) {
+      off = row_start;                                // roll back the row
+      LINE_BAIL();
+    }
+    out[off++] = '\n';
+    // run break: scaffold of this WRITTEN row differs from the last one
+    if (owr_name_len != f_len[0] || owr_name == nullptr ||
+        memcmp(f_ptr[0], owr_name, (size_t)f_len[0]) != 0) {
+      if (n_breaks >= max_breaks) {
+        *n_breaks_out = n_breaks; *consumed_out = line_start;
+        *written_out = row_start; *prev_pos_out = prev_pos;
+        return -1;
+      }
+      breaks[4 * n_breaks] = line_idx;
+      breaks[4 * n_breaks + 1] = f_ptr[0] - buf;
+      breaks[4 * n_breaks + 2] = f_len[0];
+      breaks[4 * n_breaks + 3] = row_start;
+      ++n_breaks;
+      owr_name = f_ptr[0];
+      owr_name_len = f_len[0];
+    }
+    if (new_scaf) {
+      cur_name = f_ptr[0];
+      cur_name_len = f_len[0];
+    }
+    prev_pos = pos;
+    ++line_idx;
+  }
+  #undef LINE_BAIL
+  *n_breaks_out = n_breaks;
+  *consumed_out = len;
+  *written_out = off;
+  *prev_pos_out = prev_pos;
+  return 0;
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -65,10 +65,100 @@ def parse_include_exclude(args):
     return include, exclude
 
 
+def _fast_path(args, samples, include, exclude, gt_filters) -> bool:
+    """C-converter fast path (io/vcf_fast): chunked one-pass conversion with
+    an optional -t thread pool.  Returns False when the configuration needs
+    the Python VcfSite pipeline (caller falls back) — stdin input falls back
+    too unless the header fits the first chunks."""
+    import os
+
+    from ..io import vcf_fast
+
+    if os.environ.get("GGT_HOST_VCF") == "0" or \
+            not vcf_fast.eligible(args, gt_filters, 0):
+        return False
+    if args.inFile:
+        head_data = V.get_head_data(args.inFile)
+        chunks = vcf_fast.text_chunks(args.inFile)
+    else:
+        head_data, chunks = vcf_fast.stdin_header_chunks(sys.stdin.buffer)
+        if head_data is None:
+            return False
+    if head_data["nSamples"] > 1024:
+        return False
+    if samples:
+        for s in samples:
+            assert s in head_data["sampleNames"], \
+                f"Sample {s} not in VCF header\n"
+    else:
+        samples = head_data["sampleNames"]
+    ploidy_dict = defaultdict(lambda: args.ploidy)
+    if args.ploidyFile:
+        with open(args.ploidyFile, "rt") as pf:
+            ploidy_dict.update({s[0]: int(s[1])
+                                for s in (l.split() for l in pf)})
+    opts = vcf_fast.make_opts(args, gt_filters, head_data["sampleNames"],
+                              samples, ploidy_dict)
+
+    if args.outFile:
+        out_bin = gzip.open(args.outFile, "wb") \
+            if args.outFile.endswith(".gz") else open(args.outFile, "wb")
+    else:
+        out_bin = sys.stdout.buffer
+    if not args.noHeader:
+        first = ["#CHROM", "POS"]
+        if args.addRefTrack:
+            first.append("REF")
+        out_bin.write((args.outSep.join(first + samples) + "\n").encode())
+
+    headers = head_data["mainHeaders"]
+
+    def slow_line(line, prev_name, prev_pos):
+        elements = line.decode().split()
+        chrom, pos = elements[0], int(elements[1])
+        name_b = chrom.encode()
+        if args.excludeDuplicates and prev_name is not None \
+                and name_b == prev_name and pos == prev_pos:
+            return None, prev_name, prev_pos
+        site = V.VcfSite(elements=elements, headers=headers)
+        if args.minQual and V.can_float(site.QUAL) and \
+                float(site.QUAL) < args.minQual:
+            return None, name_b, pos
+        if args.maxREFlen and len(site.REF) > args.maxREFlen:
+            return None, name_b, pos
+        output = site.getGenotypes(
+            gt_filters, asList=True, withPhase=True, samples=samples,
+            missing=args.missing, mustMatchREFlen=args.skipIndels,
+            keepPartial=args.keepPartial, ploidyDict=ploidy_dict,
+            ploidyMismatchToMissing=args.ploidyMismatchToMissing)
+        first = [chrom, str(site.POS)]
+        if args.addRefTrack:
+            first.append(site.REF)
+        row = (args.outSep.join(first + output) + "\n").encode()
+        return row, name_b, pos
+
+    def emit_run(name, data):
+        nm = name.decode()
+        if (exclude and nm in exclude) or (include and nm not in include):
+            return
+        out_bin.write(data)
+
+    vcf_fast.convert_stream(chunks, opts, slow_line, emit_run,
+                            threads=max(1, args.threads))
+    if out_bin is not sys.stdout.buffer:
+        out_bin.close()
+    return True
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     add_args(parser)
     parser.add_argument("-i", "--inFile", action="store")
+    parser.add_argument("-t", "--threads", type=int, action="store",
+                        default=1,
+                        help="engine extension: convert text chunks on a "
+                             "thread pool (the reference parseVCF is single-"
+                             "threaded by design)")
     args = parser.parse_args(argv)
 
     samples = args.samples.split(",") if args.samples else None
@@ -76,6 +166,9 @@ def main(argv=None):
     gt_filters = [V.parse_genotype_filter_arg(g) for g in args.gtf] \
         if args.gtf else []
     simplify = args.simplifyALT or args.expandMulti
+
+    if _fast_path(args, samples, include, exclude, gt_filters):
+        return
 
     if args.inFile:
         in_file = gzip.open(args.inFile, "rt") if args.inFile.endswith(".gz") \

@@ -36,6 +36,103 @@ from .parse_vcf import add_args, parse_include_exclude
 INF = float("inf")
 
 
+def _fast_single(args, head_data, samples_per_file, ploidy_dict, gt_filters,
+                 include, exclude, scafs, scaf_lens) -> bool:
+    """Single-file fast path: the C line converter + ``-t`` chunk pool
+    (io/vcf_fast).  A one-file union/intersect walk is exactly parseVCF with
+    the stale-drop semantics (duplicate and backwards positions dropped,
+    QUAL/REFlen failures skip the row), plus the contig-list gates: rows of
+    scaffolds absent from the contig list, past the declared length, or of
+    finished (re-appearing) scaffolds are dropped."""
+    import os
+
+    from ..io import vcf_fast
+
+    if len(args.inFile) != 1 or args.method == "all" or args.test:
+        return False
+    if os.environ.get("GGT_HOST_VCF") == "0" or \
+            not vcf_fast.eligible(args, gt_filters, 0):
+        return False
+    head = head_data[0]
+    samples = samples_per_file[0]
+    if head["nSamples"] > 1024:
+        return False
+
+    opts = vcf_fast.make_opts(args, gt_filters, head["sampleNames"],
+                              samples, ploidy_dict)
+    opts.sorted_drop = True
+    opts.drop_dups = False
+
+    if args.outFile:
+        import gzip as _gzip
+        out_bin = _gzip.open(args.outFile, "wb") \
+            if args.outFile.endswith(".gz") else open(args.outFile, "wb")
+    else:
+        out_bin = sys.stdout.buffer
+    out_bin.write((args.outSep.join(["#CHROM", "POS"] + samples)
+                   + "\n").encode())
+
+    contig_idx = {s: i for i, s in enumerate(scafs)}
+    state = {"cur": -1}
+    sep = opts.out_sep
+
+    def emit_run(name, data):
+        nm = name.decode()
+        if nm not in contig_idx:
+            return
+        if (exclude and nm in exclude) or (include and nm not in include):
+            return
+        i = contig_idx[nm]
+        if i < state["cur"]:
+            return                       # finished scaffold re-appeared
+        state["cur"] = i
+        length = scaf_lens.get(nm)
+        if length is not None:
+            last = data.rstrip(b"\n").rsplit(b"\n", 1)[-1]
+            if int(last.split(sep, 2)[1]) > length:
+                keep = []
+                for r in data.split(b"\n"):
+                    if not r:
+                        continue
+                    if int(r.split(sep, 2)[1]) > length:
+                        break            # rows are strictly increasing
+                    keep.append(r)
+                if not keep:
+                    return
+                data = b"\n".join(keep) + b"\n"
+        out_bin.write(data)
+
+    headers = head["mainHeaders"]
+
+    def slow_line(line, prev_name, prev_pos):
+        elements = line.decode().split()
+        chrom, pos = elements[0], int(elements[1])
+        name_b = chrom.encode()
+        if prev_name == name_b and pos <= prev_pos:
+            return None, prev_name, prev_pos     # stale/duplicate
+        site = V.VcfSite(elements=elements, headers=headers)
+        if args.minQual and V.can_float(site.QUAL) and \
+                float(site.QUAL) < args.minQual:
+            return None, name_b, pos
+        if args.maxREFlen and len(site.REF) > args.maxREFlen:
+            return None, name_b, pos
+        output = site.getGenotypes(
+            gt_filters, asList=True, withPhase=True, samples=samples,
+            missing=args.missing, mustMatchREFlen=args.skipIndels,
+            keepPartial=args.keepPartial, ploidyDict=ploidy_dict,
+            ploidyMismatchToMissing=args.ploidyMismatchToMissing)
+        row = (args.outSep.join([chrom, str(site.POS)] + output)
+               + "\n").encode()
+        return row, name_b, pos
+
+    vcf_fast.convert_stream(vcf_fast.text_chunks(args.inFile[0]), opts,
+                            slow_line, emit_run,
+                            threads=max(1, args.threads))
+    if out_bin is not sys.stdout.buffer:
+        out_bin.close()
+    return True
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="parseVCFs")
     add_args(parser)
@@ -87,7 +184,6 @@ def main(argv=None) -> int:
         all_missing = [["/".join([missing] * ploidy_dict[s]) for s in ss]
                        for ss in samples_per_file]
 
-    out = open_out(args.outFile)
     if args.fai:
         with open(args.fai, "rt") as fai:
             scaf_lens = [(s, int(l)) for s, l in
@@ -97,6 +193,12 @@ def main(argv=None) -> int:
     else:
         scafs = head_data[0]["contigs"]
         scaf_lens = head_data[0]["contigLengths"]
+
+    if _fast_single(args, head_data, samples_per_file, ploidy_dict,
+                    gt_filters, include, exclude, scafs, scaf_lens):
+        return 0
+
+    out = open_out(args.outFile)
 
     n = len(args.inFile)
     streams = [open_maybe_gz(f, "rt") for f in args.inFile]

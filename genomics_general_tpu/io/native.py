@@ -145,6 +145,30 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int64)]
     except AttributeError:
         pass
+    try:
+        lib.vcf_to_geno_chunk.restype = ctypes.c_int64
+        lib.vcf_to_geno_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C"), ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            ctypes.c_uint8,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C"), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+    except AttributeError:
+        pass
     lib.parse_geno_chunk.restype = ctypes.c_int64
     lib.parse_geno_chunk.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,

@@ -1,0 +1,355 @@
+"""Fast VCF -> .geno conversion: C line converter + chunk-parallel driver.
+
+The reference's parseVCF is "single threaded, and therefore slow"
+(/root/reference/VCF_processing/README.md:31-43); parseVCFs.py exists to fan
+tabix chunks over a process pool.  Here the per-line work itself runs in C
+(csrc/geno_parser.cpp ``vcf_to_geno_chunk``) and ``-t`` fans decompressed
+text chunks over a thread pool (the C call releases the GIL):
+
+* each chunk's conversion is independent given the previous chunk's last
+  (CHROM, POS) — recovered EXACTLY by a raw scan of the previous chunk's
+  tail, because both duplicate suppression and the parseVCFs stale-drop
+  depend only on the last data line's coordinates (stale-dropped lines do
+  not update the walk, so the carried state is the running max; see the
+  writer-side repair below);
+* lines the C converter cannot handle (structural surprises, ploidy
+  mismatches that must raise) BAIL individually: the worker re-parses just
+  that line with the full Python VcfSite path and resumes C after it, so
+  semantics are identical line by line;
+* the in-order writer repairs the one cross-chunk ambiguity of the
+  stale-drop mode by dropping a chunk's leading rows with POS <= the true
+  running max (C's kept rows are strictly increasing per scaffold, so this
+  reproduces the sequential walk exactly), then applies include/exclude per
+  scaffold run and writes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import native
+
+
+@dataclass
+class FastVcfOpts:
+    n_samples: int
+    sel: np.ndarray                  # int32 sample column picks (in order)
+    ploidy: np.ndarray               # int32 per selected sample
+    missing: bytes
+    skip_indels: bool = False
+    keep_partial: bool = False
+    ploidy_mismatch_to_missing: bool = False
+    add_ref: bool = False
+    drop_dups: bool = False
+    sorted_drop: bool = False
+    min_qual: float = float("nan")
+    max_ref_len: int = 0
+    filt_flags: list = field(default_factory=list)   # list[(bytes, min, max)]
+    out_sep: bytes = b"\t"
+
+
+def eligible(args, gt_filters, n_samples: int) -> bool:
+    """Can the C fast path handle this CLI configuration?  Anything outside
+    the common case falls back to the Python VcfSite pipeline wholesale."""
+    if native.get_lib() is None or \
+            not hasattr(native.get_lib(), "vcf_to_geno_chunk"):
+        return False
+    if getattr(args, "field", None) or getattr(args, "expandMulti", False) \
+            or getattr(args, "simplifyALT", False):
+        return False
+    if len(args.outSep) != 1:
+        return False
+    if n_samples > 1024 or len(gt_filters) > 8:
+        return False
+    for f in gt_filters:
+        if any(k in f for k in ("siteTypes", "gtTypes", "samples")):
+            return False
+    return True
+
+
+def make_opts(args, gt_filters, head_samples, samples, ploidy_dict) -> FastVcfOpts:
+    sel = np.array([head_samples.index(s) for s in samples], dtype=np.int32)
+    ploidy = np.array([ploidy_dict[s] for s in samples], dtype=np.int32)
+    missing = (args.missing if args.missing else "N").encode()
+    return FastVcfOpts(
+        n_samples=len(head_samples), sel=sel, ploidy=ploidy, missing=missing,
+        skip_indels=bool(args.skipIndels),
+        keep_partial=bool(args.keepPartial),
+        ploidy_mismatch_to_missing=bool(args.ploidyMismatchToMissing),
+        add_ref=bool(getattr(args, "addRefTrack", False)),
+        drop_dups=bool(getattr(args, "excludeDuplicates", False)),
+        min_qual=float(args.minQual) if args.minQual else float("nan"),
+        max_ref_len=int(args.maxREFlen) if args.maxREFlen else 0,
+        filt_flags=[(f["flag"].encode(), float(f["min"]), float(f["max"]))
+                    for f in gt_filters],
+        out_sep=args.outSep.encode())
+
+
+def _tail_coords(chunk: bytes):
+    """(CHROM, POS-bytes) of the last data line of a raw text chunk, or
+    None if the chunk has no data line."""
+    end = len(chunk)
+    while end > 0:
+        nl = chunk.rfind(b"\n", 0, end - 1)
+        line = chunk[nl + 1:end]
+        end = nl + 1
+        if not line or line.startswith(b"#") or line == b"\n":
+            continue
+        parts = line.split(b"\t", 2)
+        if len(parts) >= 2:
+            try:
+                return parts[0], int(parts[1])
+            except ValueError:
+                return None
+        return None
+    return None
+
+
+def convert_chunk(chunk, opts: FastVcfOpts, prev_name: bytes | None,
+                  prev_pos: int, slow_line):
+    """Convert one decompressed text chunk.
+
+    Returns (segments, final_name, final_pos) where segments is an ordered
+    list of (scaffold_name_bytes, bytes) runs.  ``slow_line(line_bytes,
+    state)`` handles a bail line with the full Python path; it receives and
+    returns (row_bytes_or_None, name, pos) given the current walk state.
+    """
+    lib = native.get_lib()
+    if isinstance(chunk, np.ndarray):
+        chunk = chunk.tobytes()
+    flags_blob = b"".join(f[0] for f in opts.filt_flags)
+    flag_lens = np.array([len(f[0]) for f in opts.filt_flags] or [0],
+                         dtype=np.int64)
+    fmin = np.array([f[1] for f in opts.filt_flags] or [0.0])
+    fmax = np.array([f[2] for f in opts.filt_flags] or [0.0])
+    segments: list = []
+    out_prev = None
+
+    def add_segment(name, data):
+        if segments and segments[-1][0] == name:
+            segments[-1][1].extend(data)
+        else:
+            segments.append((name, bytearray(data)))
+
+    i = 0
+    n = len(chunk)
+    out = np.empty(max(2 * n + (1 << 16), 1 << 20), dtype=np.uint8)
+    breaks = np.empty(4 * 65536, dtype=np.int64)
+    while i < n:
+        sub = chunk[i:]
+        nb = ctypes.c_int64(0)
+        consumed = ctypes.c_int64(0)
+        written = ctypes.c_int64(0)
+        ppos = ctypes.c_int64(0)
+        ret = lib.vcf_to_geno_chunk(
+            ctypes.cast(ctypes.c_char_p(sub), ctypes.c_void_p),
+            np.int64(len(sub)),
+            np.int32(opts.n_samples), opts.sel, np.int32(opts.sel.size),
+            opts.ploidy,
+            opts.missing, np.int64(len(opts.missing)),
+            np.int32(opts.skip_indels), np.int32(opts.keep_partial),
+            np.int32(opts.ploidy_mismatch_to_missing), np.int32(opts.add_ref),
+            np.int32(opts.drop_dups), np.int32(opts.sorted_drop),
+            ctypes.c_double(opts.min_qual), np.int64(opts.max_ref_len),
+            np.int32(len(opts.filt_flags)), flags_blob, flag_lens, fmin, fmax,
+            ctypes.c_uint8(opts.out_sep[0]),
+            prev_name, np.int64(len(prev_name) if prev_name else 0),
+            np.int64(prev_pos),
+            out_prev, np.int64(len(out_prev) if out_prev else 0),
+            out, np.int64(out.size),
+            breaks, np.int64(65536),
+            ctypes.byref(nb), ctypes.byref(consumed), ctypes.byref(written),
+            ctypes.byref(ppos))
+        if ret == -1:
+            raise RuntimeError("vcf_to_geno_chunk: break table overflow")
+        # slice output into scaffold runs
+        w = written.value
+        k = nb.value
+        for b in range(k):
+            name = sub[breaks[4 * b + 1]:breaks[4 * b + 1] + breaks[4 * b + 2]]
+            o0 = breaks[4 * b + 3]
+            o1 = breaks[4 * (b + 1) + 3] if b + 1 < k else w
+            add_segment(name, out[o0:o1].tobytes())
+        if k == 0 and w and out_prev is not None:
+            add_segment(out_prev, out[:w].tobytes())
+        if k:
+            out_prev = segments[-1][0]
+        c = consumed.value
+        # walk state after the consumed region: scaffold = last seen line's
+        # CHROM; position = C's exact carry (the running max in stale-drop
+        # mode — stale lines do not update it)
+        if c:
+            tc = _tail_coords(sub[:c])
+            if tc is not None:
+                prev_name = tc[0]
+            prev_pos = ppos.value
+        if ret == 0:
+            break
+        if ret == -5:                      # output full: resume
+            i += c
+            continue
+        # bail line at sub[ret-1 ...]: full Python path for this one line
+        ls = ret - 1
+        if c != ls:
+            raise RuntimeError("vcf_to_geno_chunk consumed != bail offset")
+        le = sub.find(b"\n", ls)
+        le = len(sub) if le < 0 else le + 1
+        line = sub[ls:le]
+        row, nm, ps = slow_line(line, prev_name, prev_pos)
+        if row is not None:
+            add_segment(nm, row)
+            out_prev = nm
+        prev_name, prev_pos = nm, ps
+        i += le
+    return segments, prev_name, prev_pos
+
+
+def text_chunks(path_or_stream, chunk_bytes: int = 16 << 20):
+    """Yield line-aligned decompressed text chunks of a VCF.
+
+    ``path_or_stream``: a path (gz-aware; .gz goes through the C streaming
+    decompressor when available) or a binary stream (stdin).  Comment lines
+    pass through — the C converter skips them, so the header needs no
+    separate consumption."""
+    import gzip as _gzip
+
+    if isinstance(path_or_stream, str):
+        if path_or_stream.endswith(".gz"):
+            with open(path_or_stream, "rb") as f:
+                blob = f.read()
+            try:
+                sess = native.GzChunkStream(blob, chunk_bytes)
+                while True:
+                    c = sess.next_chunk()
+                    if c is None:
+                        return
+                    yield c
+                return
+            except RuntimeError:
+                stream = _gzip.GzipFile(fileobj=__import__("io").BytesIO(blob))
+        else:
+            stream = open(path_or_stream, "rb")
+    else:
+        stream = path_or_stream
+    carry = b""
+    while True:
+        data = stream.read(chunk_bytes)
+        if not data:
+            if carry:
+                yield carry + b"\n" if not carry.endswith(b"\n") else carry
+            return
+        data = carry + data
+        nl = data.rfind(b"\n")
+        if nl < 0:
+            carry = data
+            continue
+        carry = data[nl + 1:]
+        yield data[:nl + 1]
+
+
+def stdin_header_chunks(stream, chunk_bytes: int = 16 << 20):
+    """Read header chunks from a stream until the #CHROM line is seen.
+
+    Returns (head_data, chunks) where ``chunks`` replays the buffered
+    chunks then continues the stream (comment lines pass through — the C
+    converter skips them); (None, None) if no #CHROM line appears in the
+    first 64 MB (caller falls back)."""
+    import io as _io
+
+    from .vcf import parse_header_lines
+
+    gen = text_chunks(stream, chunk_bytes)
+    buf: list = []
+    blob = b""
+    head = None
+    for c in gen:
+        c = c.tobytes() if isinstance(c, np.ndarray) else c
+        buf.append(c)
+        blob += c
+        if b"#CHROM" in blob:
+            head = parse_header_lines(_io.BytesIO(blob))
+            if "mainHead" in head:
+                break
+        if len(blob) > 64 << 20:
+            return None, None
+
+    if head is None or "mainHead" not in head:
+        return None, None
+
+    def chain():
+        yield from buf
+        yield from gen
+
+    return head, chain()
+
+
+def convert_stream(chunks, opts: FastVcfOpts, slow_line, emit_run,
+                   threads: int = 1):
+    """Drive the whole stream: chunk-parallel C conversion, in-order writer.
+
+    ``chunks``: iterable of decompressed text chunks (bytes / uint8 arrays,
+    line-aligned).  ``emit_run(name_bytes, data_bytes)`` receives ordered
+    scaffold runs (caller applies include/exclude and writes).
+    """
+    if threads <= 1:
+        prev_name, prev_pos = None, -1
+        for chunk in chunks:
+            segs, prev_name, prev_pos = convert_chunk(
+                chunk, opts, prev_name, prev_pos, slow_line)
+            for name, data in segs:
+                emit_run(name, bytes(data))
+        return
+
+    pool = ThreadPoolExecutor(max_workers=threads)
+    pending: deque = deque()
+    # true boundary state for the stale-drop repair (known only once the
+    # previous chunk's results are written)
+    writer_state = {"name": None, "pos": -1}
+
+    def repair_and_emit(segs):
+        for name, data in segs:
+            data = bytes(data)
+            if opts.sorted_drop and name == writer_state["name"] \
+                    and writer_state["pos"] >= 0:
+                # drop leading rows with POS <= running max (kept rows are
+                # strictly increasing per scaffold, so this reproduces the
+                # sequential walk exactly)
+                off = 0
+                while off < len(data):
+                    nl = data.find(b"\n", off)
+                    if nl < 0:
+                        break
+                    parts = data[off:nl].split(opts.out_sep, 2)
+                    if len(parts) >= 2 and int(parts[1]) > writer_state["pos"]:
+                        break
+                    off = nl + 1
+                data = data[off:]
+                if not data:
+                    continue
+            last = data.rstrip(b"\n").rsplit(b"\n", 1)[-1]
+            p = last.split(opts.out_sep, 2)
+            writer_state["name"], writer_state["pos"] = name, int(p[1])
+            emit_run(name, data)
+
+    prev_raw_tail = (None, -1)
+    for chunk in chunks:
+        if isinstance(chunk, np.ndarray):
+            chunk = chunk.tobytes()
+        fut = pool.submit(convert_chunk, chunk, opts,
+                          prev_raw_tail[0], prev_raw_tail[1], slow_line)
+        tc = _tail_coords(chunk)
+        if tc is not None:
+            prev_raw_tail = tc
+        pending.append(fut)
+        while pending and (len(pending) > threads + 1 or pending[0].done()):
+            segs, _, _ = pending.popleft().result()
+            repair_and_emit(segs)
+    while pending:
+        segs, _, _ = pending.popleft().result()
+        repair_and_emit(segs)
+    pool.shutdown()
