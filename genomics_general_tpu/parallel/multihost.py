@@ -71,6 +71,34 @@ def shard_predicate(n_procs: int, rank: int):
     return lambda name: owner(name, n_procs) == rank
 
 
+def mesh_reduce_stacked(stacked, mesh, op: str = "sum"):
+    """Reduce a host-stacked [k, ...] array over a device mesh axis.
+
+    The same reduce body as :func:`collective_reduce` but sharded over an
+    explicit (local) mesh — used by the driver's multichip dryrun to execute
+    the production psum/pmin merge on an n-device mesh without n processes.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    spec = NamedSharding(mesh, P(axis))
+    with jax.enable_x64():
+        garr = jax.device_put(np.ascontiguousarray(stacked), spec)
+
+        @functools.partial(jax.jit, static_argnames=("op",),
+                           out_shardings=NamedSharding(mesh, P()))
+        def red(x, op):
+            return jnp.sum(x, axis=0) if op == "sum" else jnp.min(x, axis=0)
+
+        out = np.asarray(red(garr, op))
+    return out
+
+
 def collective_reduce(arr, op: str = "sum"):
     """Reduce a host-local int64 accumulator across processes on device.
 
