@@ -235,56 +235,63 @@ class _SiteBuffer:
         self.sids = np.empty(cap, dtype=np.int32)
         self.start = 0
         self.end = 0
+        # absolute (monotone, stream-global) site index of ``start``:
+        # snapshots taken on the producer thread may interleave arbitrarily
+        # with trims on the consumer thread, so consumers address sites by
+        # absolute index and map into a snapshot via its own abs base
+        self.abs_start = 0
+        # append runs on the parse/prefetch thread (the chunk copy is the
+        # main thread's single biggest untimed cost on bandwidth-starved
+        # hosts); trim runs on the consumer thread.  The lock serializes
+        # compaction against trim; consumers never touch start/end directly
+        # — they work from the snapshots append returns
+        self._lock = threading.Lock()
 
     @property
     def n(self) -> int:
         return self.end - self.start
 
     def append(self, a: np.ndarray, p: np.ndarray, s: np.ndarray):
+        """Append a chunk; returns a snapshot (alleles, pos, sids, start,
+        end, abs_start) that is immutable for consumers: later appends only
+        write past ``end``, and compaction allocates fresh arrays (old
+        snapshots keep the old storage alive with unchanged contents).
+        Absolute site A lives at array column start + (A - abs_start)."""
         m = p.shape[0]
-        cap = self.pos.shape[0]
-        if self.end + m > cap:
-            # compact (and grow if the active span + chunk still won't fit);
-            # fresh arrays, so any outstanding views of the old storage
-            # (inside this generator only) stay coherent
-            n = self.n
-            new_cap = cap
-            while new_cap < n + m:
-                new_cap *= 2
-            na = np.empty((self.H, new_cap), dtype=np.int8)
-            np_ = np.empty(new_cap, dtype=np.int64)
-            ns = np.empty(new_cap, dtype=np.int32)
-            na[:, :n] = self.alleles[:, self.start:self.end]
-            np_[:n] = self.pos[self.start:self.end]
-            ns[:n] = self.sids[self.start:self.end]
-            self.alleles, self.pos, self.sids = na, np_, ns
-            self.start, self.end = 0, n
-        self.alleles[:, self.end:self.end + m] = a
-        self.pos[self.end:self.end + m] = p
-        self.sids[self.end:self.end + m] = s
-        self.end += m
+        with self._lock:
+            cap = self.pos.shape[0]
+            if self.end + m > cap:
+                # compact (and grow if the active span + chunk still won't
+                # fit).  abs_start is unchanged: the same logical sites move
+                # to columns [0, n).
+                n = self.n
+                new_cap = cap
+                while new_cap < n + m:
+                    new_cap *= 2
+                na = np.empty((self.H, new_cap), dtype=np.int8)
+                np_ = np.empty(new_cap, dtype=np.int64)
+                ns = np.empty(new_cap, dtype=np.int32)
+                na[:, :n] = self.alleles[:, self.start:self.end]
+                np_[:n] = self.pos[self.start:self.end]
+                ns[:n] = self.sids[self.start:self.end]
+                self.alleles, self.pos, self.sids = na, np_, ns
+                self.start, self.end = 0, n
+            self.alleles[:, self.end:self.end + m] = a
+            self.pos[self.end:self.end + m] = p
+            self.sids[self.end:self.end + m] = s
+            self.end += m
+            return (self.alleles, self.pos, self.sids, self.start, self.end,
+                    self.abs_start)
 
-    def view(self):
-        return (self.alleles[:, self.start:self.end],
-                self.pos[self.start:self.end],
-                self.sids[self.start:self.end])
-
-    def span_view(self, n_sites: int):
-        """Views of the first ``n_sites`` of the active span.
-
-        Safe to hold indefinitely: appends only write at ``end`` (past any
-        previously handed-out span), ``trim`` just moves the logical start,
-        and compaction allocates *fresh* arrays (the view keeps the old
-        storage alive).  Handing out views instead of copies removes a full
-        rewrite of every allele byte per flush — significant on
-        bandwidth-starved hosts."""
-        e = self.start + n_sites
-        return (self.alleles[:, self.start:e],
-                self.pos[self.start:e],
-                self.sids[self.start:e])
+    def snapshot(self):
+        with self._lock:
+            return (self.alleles, self.pos, self.sids, self.start, self.end,
+                    self.abs_start)
 
     def trim(self, k: int):
-        self.start += k
+        with self._lock:
+            self.start += k
+            self.abs_start += k
 
 
 @dataclass
@@ -356,24 +363,6 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
     window_offset = 0
     pending: list[W.WindowPlan] = []
     pending_windows = 0
-    # virtual trim point: sites before `consumed` are already planned past,
-    # but stay in the buffer until the pending windows that reference them
-    # are flushed (plan pieces hold buffer-relative spans)
-    consumed = 0
-
-    def chunks():
-        with timer.stage("parse"):
-            it = iter(reader.iter_chunks())
-        while True:
-            with timer.stage("parse"):
-                try:
-                    c = next(it)
-                except StopIteration:
-                    return
-            yield c
-
-    chunk_iter = _prefetched(chunks(), depth=prefetch_depth) \
-        if prefetch_depth else chunks()
 
     def filter_chunk(chunk):
         if inc is None and exc is None and scaffold_pred is None:
@@ -390,17 +379,56 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         return (chunk.alleles[:, keep], chunk.positions[keep],
                 chunk.scaffold_ids[keep])
 
-    def make_batch() -> StreamBatch:
+    def chunks():
+        """Producer side (prefetch thread): parse, filter AND append into
+        the rolling buffer — the chunk copy is pure memory bandwidth and
+        used to serialize with dispatch on the main thread.  Yields the
+        post-append buffer snapshot."""
+        with timer.stage("parse"):
+            it = iter(reader.iter_chunks())
+        while True:
+            with timer.stage("parse"):
+                try:
+                    c = next(it)
+                except StopIteration:
+                    return
+                a, p, s = filter_chunk(c)
+                if p.size == 0:
+                    continue
+                snap = buf.append(a, p, s)
+            yield snap, p.shape[0]
+
+    chunk_iter = _prefetched(chunks(), depth=prefetch_depth) \
+        if prefetch_depth else chunks()
+
+    # absolute-coordinate planning state: ``consumed_abs`` is the absolute
+    # index of the first site still needed by future windows, ``base_abs``
+    # the absolute index the current pending plan pieces are rebased against
+    # (== the buffer's abs_start after the last trim)
+    consumed_abs = 0
+    base_abs = 0
+
+    def make_batch(snap) -> StreamBatch:
         nonlocal pending, pending_windows, window_offset
         plan = (_concat_plans(pending, planner.wt) if pending
                 else W.IncrementalPlanner._empty(planner.wt))
+        # pieces are in absolute coordinates; rebase to the batch view,
+        # which starts at base_abs
+        plan.first -= base_abs
+        plan.last -= base_abs
         needed = int(plan.last.max()) if plan.n_windows else 0
-        # views, not copies: _SiteBuffer never overwrites a handed-out span
-        # (see span_view), so in-flight batches in the caller's
-        # dispatch/finalize overlap stay coherent
-        a, p, s = buf.span_view(needed)
-        batch = StreamBatch(plan=plan, alleles=a,
-                            positions=p, scaffold_ids=s,
+        # views of the snapshot's active span, not copies: appends only
+        # write past the snapshot end and compaction allocates fresh arrays,
+        # so in-flight batches in the caller's dispatch/finalize overlap
+        # stay coherent.  Absolute site A = snapshot column
+        # start + (A - snap_abs); the snapshot always contains
+        # [base_abs, base_abs + needed) because trims never pass
+        # consumed_abs and pieces only reference planned sites.
+        sa, sp, ss, s0, _, sabs = snap
+        off = s0 + (base_abs - sabs)
+        batch = StreamBatch(plan=plan, alleles=sa[:, off:off + needed],
+                            positions=sp[off:off + needed],
+                            scaffold_ids=ss[off:off + needed],
                             scaffold_names=reader.scaffold_names,
                             window_offset=window_offset, needed_end=needed)
         if progress:
@@ -411,44 +439,42 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         return batch
 
     def trim():
-        nonlocal consumed
-        if consumed > 0:
-            buf.trim(consumed)
-            consumed = 0
+        nonlocal base_abs
+        if consumed_abs > base_abs:
+            buf.trim(consumed_abs - base_abs)
+            base_abs = consumed_abs
 
-    def plan_step(final: bool):
-        nonlocal pending, pending_windows, consumed
-        _, vpos, vsids = buf.view()
-        piece, keep = planner.plan(vsids[consumed:], vpos[consumed:], final)
+    def plan_step(snap, final: bool):
+        nonlocal pending, pending_windows, consumed_abs
+        _, sp, ss, s0, s1, sabs = snap
+        off = s0 + (consumed_abs - sabs)
+        piece, keep = planner.plan(ss[off:s1], sp[off:s1], final)
         if piece.n_windows:
-            piece.first += consumed
-            piece.last += consumed
+            piece.first += consumed_abs
+            piece.last += consumed_abs
             pending.append(piece)
             pending_windows += piece.n_windows
-        consumed += int(keep)
+        consumed_abs += int(keep)
 
-    for chunk in chunk_iter:
-        a, p, s = filter_chunk(chunk)
-        if p.size == 0:
-            continue
-        buf.append(a, p, s)
+    snap = buf.snapshot()
+    for snap, n_new in chunk_iter:
         if progress:
-            progress.update(sites=p.size)
+            progress.update(sites=n_new)
         # plan over the new sites; flush when enough windows are ready
-        plan_step(final=False)
+        plan_step(snap, final=False)
         threshold = flush_schedule[flush_count] \
             if flush_count < len(flush_schedule) else min_flush_windows
         if (pending_windows >= threshold
-                or buf.n > max_buffer_sites):
+                or snap[4] - snap[3] > max_buffer_sites):
             flush_count += 1
-            yield make_batch()
+            yield make_batch(snap)
             trim()
 
     # EOF: finalize trailing windows (and, for predefined plans, rows for
     # scaffolds absent from the data)
-    plan_step(final=True)
+    plan_step(snap, final=True)
     if pending_windows or window_offset == 0:
-        yield make_batch()
+        yield make_batch(snap)
 
 
 def run_pipeline(batches, dispatch, finalize, skip=None, depth: int | None = None):
