@@ -167,7 +167,14 @@ def main(argv=None) -> int:
         # gather at the end
         shard_pred = multihost.shard_predicate(n_procs,
                                                multihost.process_index())
-        mh_writer = multihost.MultiHostWriter()
+        # incremental gather (default every 8 scaffolds): host 0 writes
+        # while hosts still stream — peak buffered memory is O(scaffold
+        # group), not O(output), which matters for this per-site output.
+        # GGT_GATHER_SCAFS=0 restores the single end-of-run gather.
+        inc_every = int(os.environ.get("GGT_GATHER_SCAFS", "8"))
+        mh_writer = multihost.MultiHostWriter(
+            incremental_every=inc_every if inc_every > 0 else None,
+            open_out=lambda: writers.open_out(args.outFile), header=head)
         out = None
     else:
         shard_pred, mh_writer = None, None
@@ -343,6 +350,10 @@ def main(argv=None) -> int:
         if args.test else None
     for chunk in _engine._prefetched(reader.iter_chunks()):
         a, sids, pos = chunk.alleles, chunk.scaffold_ids, chunk.positions
+        # global stream frontier BEFORE shard filtering: every host observes
+        # the same scaffold sequence, so incremental gather rounds trigger
+        # identically everywhere
+        frontier = int(sids[-1]) if sids.size else None
         if test_sites_left is not None:
             if test_sites_left <= 0:
                 break
@@ -356,17 +367,23 @@ def main(argv=None) -> int:
             keep = owned[sids]
             if not keep.all():
                 a, sids, pos = a[:, keep], sids[keep], pos[keep]
-        if pos.size == 0:
-            continue
-        done = process_block(a, sids, pos)
-        progress.update(sites=done, rows=done)
+        if pos.size:
+            done = process_block(a, sids, pos)
+            progress.update(sites=done, rows=done)
+        if mh_writer is not None and frontier is not None:
+            mh_writer.maybe_gather(frontier, reader.scaffold_names)
 
     if mh_writer is not None:
-        out = writers.open_out(args.outFile) \
-            if multihost.process_index() == 0 else None
-        mh_writer.finish(out, head, reader.scaffold_names)
+        out = None
+        if multihost.process_index() == 0 and not mh_writer.incr:
+            out = writers.open_out(args.outFile)
+        out = mh_writer.finish(out, head, reader.scaffold_names)
         if args.outFile and out is not None:
             out.close()
+        if os.environ.get("GGT_GATHER_DEBUG"):
+            sys.stderr.write(
+                f"[gather] rank {multihost.process_index()} peak buffered "
+                f"{mh_writer.peak_buffered} B\n")
         progress.close()
         return 0
     if args.outFile:

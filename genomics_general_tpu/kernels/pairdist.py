@@ -369,7 +369,10 @@ def _v2_flush_args(alleles: np.ndarray, first: np.ndarray,
     s_need = max(int(n_sites.max()), 1)
     wp = _next_pow2(W, 8)
     buf, Sp, ep = transfer.pack_pair_wire(alleles, first, n_sites, wp)
-    s_max = min(_next_pow2(s_need, 1024), Sp)
+    # bucket floor 256 (not 1024): gather + einsum compute scale with
+    # s_max, and 100-250-site windows (sites-window ABBA/popgen sweeps)
+    # were paying 4-10x padding waste; the floor bounds jit variants
+    s_max = min(_next_pow2(s_need, 256), Sp)
     # chunk the window axis so the [chunk, H, s_max] gather stays small:
     # measured on the target TPU, chunks at/above 256 windows fall off a
     # fusion cliff (0.9s vs 0.06s per 512-window flush at chunk 128)

@@ -169,7 +169,8 @@ class MultiHostWriter:
 
     SEGMENT_RAW = 4 << 20      # compress buffered text in ~4 MB segments
 
-    def __init__(self):
+    def __init__(self, incremental_every: int | None = None,
+                 open_out=None, header: str = ""):
         # per-scaffold: (list of zlib-compressed segments, list of pending
         # raw strings, pending raw length).  Compressing as we go bounds the
         # held memory at roughly the compressed output size (~10x smaller
@@ -178,6 +179,68 @@ class MultiHostWriter:
         # entire file on every host.
         self.blocks: dict[str, tuple[list[bytes], list[str], int]] = {}
         self.keyed_rows: list[tuple[int, str]] = []
+        # incremental gather: every ``incremental_every`` scaffolds of the
+        # shared input stream, all hosts run one allgather round and host 0
+        # writes those scaffolds immediately — peak buffered memory is
+        # O(scaffold group), not O(output).  Every host observes the same
+        # scaffold sequence, so the round trigger (a scaffold INDEX
+        # threshold) fires identically everywhere — the collective call
+        # counts always match.  Incompatible with keyed rows (predefined
+        # window files interleave scaffolds).
+        self.incr = incremental_every
+        self._open_out = open_out
+        self._header = header
+        self._out = None
+        self._rounds_done = 0           # scaffolds gathered so far
+        self.peak_buffered = 0          # diagnostics: max held compressed B
+
+    def _track_peak(self):
+        held = sum(len(s) for segs, raw, _ in self.blocks.values()
+                   for s in segs)
+        held += sum(rl for _, _, rl in self.blocks.values())
+        if held > self.peak_buffered:
+            self.peak_buffered = held
+
+    def maybe_gather(self, completed_idx: int, scaffold_names: list) -> None:
+        """Run incremental gather rounds for every full scaffold group below
+        ``completed_idx`` (the index of the first scaffold NOT yet fully
+        processed on this host).  Call with increasing values; every host
+        must call through the same thresholds (they do: the shared stream
+        shows all hosts the same scaffold order)."""
+        if not self.incr:
+            return
+        assert not self.keyed_rows, \
+            "incremental gather is incompatible with keyed rows"
+        while self._rounds_done + self.incr <= completed_idx:
+            lo = self._rounds_done
+            hi = lo + self.incr
+            self._gather_round(scaffold_names[lo:hi])
+            self._rounds_done = hi
+
+    def _gather_round(self, names: list) -> None:
+        group = {}
+        for n in names:
+            entry = self.blocks.pop(n, None)
+            if entry is not None:
+                segs, raw, _ = entry
+                if raw:
+                    segs = segs + [zlib.compress("".join(raw).encode(), 1)]
+                group[n] = segs
+        self._track_peak()
+        payload = pickle.dumps(group, protocol=pickle.HIGHEST_PROTOCOL)
+        gathered = allgather_bytes(payload)
+        if process_index() != 0:
+            return
+        if self._out is None:
+            self._out = self._open_out()
+            self._out.write(self._header)
+        merged: dict[str, list[bytes]] = {}
+        for blob in gathered:
+            for k, segs in pickle.loads(blob).items():
+                merged.setdefault(k, []).extend(segs)
+        for n in names:
+            for seg in merged.get(n, ()):
+                self._out.write(zlib.decompress(seg).decode())
 
     def write_row(self, scaffold: str, line: str,
                   order_key: int | None = None) -> None:
@@ -206,7 +269,9 @@ class MultiHostWriter:
         return out
 
     def finish(self, out, header: str, scaffold_order: list[str]) -> None:
-        """Gather all hosts' rows; process 0 writes header + ordered rows."""
+        """Gather all hosts' remaining rows; process 0 writes them in order
+        (after the header, or appended to the incremental stream)."""
+        self._track_peak()
         payload = pickle.dumps((self._sealed(), self.keyed_rows),
                                protocol=pickle.HIGHEST_PROTOCOL)
         gathered = allgather_bytes(payload)
@@ -221,7 +286,16 @@ class MultiHostWriter:
                 # silently drop rows if two hosts ever emit the same key
                 merged.setdefault(k, []).extend(segs)
             keyed.extend(rows)
-        out.write(header)
+        if self.incr:
+            # the writer owns the stream in incremental mode; already-
+            # gathered scaffolds were written by their rounds
+            if self._out is None:
+                self._out = self._open_out()
+                self._out.write(self._header)
+            out = self._out
+            scaffold_order = scaffold_order[self._rounds_done:]
+        else:
+            out.write(header)
         keyed.sort(key=lambda kv: kv[0])
         for _, line in keyed:
             out.write(line)
@@ -237,3 +311,4 @@ class MultiHostWriter:
         # host-0's observed order: write in deterministic name order
         for name in sorted(merged):
             write_scaf(name)
+        return out

@@ -343,3 +343,41 @@ def test_two_process_raxml_nj(tmp_path):
             _gzip.open(dist + ".trees.gz") as b:
         sa, sb = a.read(), b.read()
     assert sa and sa == sb
+
+
+def test_two_process_freq_incremental_gather(tmp_path):
+    """Incremental gather (GGT_GATHER_SCAFS=1): host 0 writes scaffold
+    groups while hosts still stream.  Output must stay byte-identical to a
+    1-process run, and the per-host peak buffered bytes must be below the
+    total output size (bounded memory)."""
+    argv = lambda out: [  # noqa: E731
+        sys.executable, "-m", "genomics_general_tpu.cli.freq",
+        "-g", str(D / "sim1.geno.gz"), "-f", "phased",
+        "-p", "pop1", "-p", "pop2", "-p", "pop3", "-p", "pop4",
+        "--popsFile", str(D / "sim1.pops.txt"), "-o", out]
+
+    single = tmp_path / "single.tsv"
+    r = subprocess.run(argv(str(single)), env=_clean_env({}),
+                       capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    dist = tmp_path / "dist.tsv"
+    port = _free_port()
+    procs = [subprocess.Popen(
+        argv(str(dist)),
+        env=_clean_env({"GGT_COORDINATOR": f"127.0.0.1:{port}",
+                        "GGT_NUM_PROCS": "2", "GGT_PROC_ID": str(pid),
+                        "GGT_GATHER_SCAFS": "1", "GGT_GATHER_DEBUG": "1"}),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE) for pid in range(2)]
+    peaks = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+        for ln in err.decode().splitlines():
+            if "[gather]" in ln:
+                peaks.append(int(ln.split()[-2]))
+    assert dist.read_bytes() == single.read_bytes()
+    # compressed peak must be well under the (uncompressed) output size —
+    # with one 2-scaffold input and G=1, each host held at most 1 scaffold
+    assert len(peaks) == 2
+    assert max(peaks) < single.stat().st_size
