@@ -43,3 +43,27 @@ def test_vcf_dedup_reftrack_samples(tmp_path):
             ["-i", VCF, "--excludeDuplicates", "--addRefTrack",
              "-s", "s1,s3,s5", "-o", out])
     assert_text_equal(G / "vcf_dedup_ref.geno", out)
+
+
+def test_vcf_stdin_fast_path(tmp_path):
+    """Piped VCF input: the C fast path reads the header from the first
+    buffered chunks and must match the Python pipeline byte for byte."""
+    import gzip
+    import os
+    import subprocess
+    import sys
+    text = gzip.decompress((Path(__file__).parent / "data"
+                            / "sim1.vcf.gz").read_bytes())
+    fast, slow = tmp_path / "fast.geno", tmp_path / "slow.geno"
+    r = subprocess.run(
+        [sys.executable, "-m", "genomics_general_tpu.cli.parse_vcf",
+         "-o", str(fast)], input=text, capture_output=True,
+        cwd=Path(__file__).parent.parent)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    r = subprocess.run(
+        [sys.executable, "-m", "genomics_general_tpu.cli.parse_vcf",
+         "-o", str(slow)], input=text, capture_output=True,
+        cwd=Path(__file__).parent.parent,
+        env=dict(os.environ, GGT_HOST_VCF="0"))
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert fast.read_bytes() == slow.read_bytes()
