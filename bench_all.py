@@ -285,7 +285,10 @@ def swap_input(args, old, new):
 # engine CLI modules that accept --profile (StageTimer lane split)
 _PROFILABLE = {"genomics_general_tpu.cli.popgen_windows",
                "genomics_general_tpu.cli.abba_windows",
-               "genomics_general_tpu.cli.four_pop_windows"}
+               "genomics_general_tpu.cli.four_pop_windows",
+               "genomics_general_tpu.cli.freq",
+               "genomics_general_tpu.cli.sfs",
+               "genomics_general_tpu.cli.dist_mat"}
 
 RESULTS_PATH = REPO / "BASELINE_RESULTS.json"
 

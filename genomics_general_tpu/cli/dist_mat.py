@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="periodic progress counters on stderr")
     p.add_argument("--addWindowID", action="store_true")
     p.add_argument("--writeFailedWindows", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="report per-stage wall-clock timing on stderr")
     return p
 
 
@@ -113,6 +115,7 @@ def main(argv=None) -> int:
     model = reader.model
     n_ind = len(samples)
     progress = engine.Progress(args.verbose)
+    timer = engine.StageTimer(args.profile)
 
     winmeta_head = ("windowID," if args.addWindowID else "") \
         + "scaffold,start,end,mid,sites,"
@@ -202,7 +205,18 @@ def main(argv=None) -> int:
         first_sid, first_pos, last_pos = 0, 0, 0
         keep_positions = bool(args.windowDataOutFile) and n_procs == 1
         pos_parts: list[np.ndarray] = []
-        for chunk in engine._prefetched(reader.iter_chunks()):
+        def _timed_chunks():
+            with timer.stage("parse"):
+                it = iter(reader.iter_chunks())
+            while True:
+                with timer.stage("parse"):
+                    try:
+                        c = next(it)
+                    except StopIteration:
+                        return
+                yield c
+
+        for chunk in engine._prefetched(_timed_chunks()):
             a, p, sids = chunk.alleles, chunk.positions, chunk.scaffold_ids
             if inc is not None or exc is not None or shard_pred is not None:
                 names = reader.scaffold_names
@@ -222,9 +236,11 @@ def main(argv=None) -> int:
             called += (a >= 0).sum(axis=1)
             if keep_positions:
                 pos_parts.append(p.copy())
-            acc.add(a)
+            with timer.stage("kernel"):
+                acc.add(a)
             progress.update(sites=p.size)
-        m0, s0 = acc.finish()
+        with timer.stage("d2h"):
+            m0, s0 = acc.finish()
         if n_procs > 1:
             # genome-wide accumulator merge: each host counts its scaffolds,
             # the [H,H] mismatch/shared matrices + per-haplotype called
@@ -287,19 +303,22 @@ def main(argv=None) -> int:
     else:
         # windowed: stream flush batches (O(flush) memory, like popgen)
         def dispatch(batch):
-            handle = pair_k.window_pair_counts_dispatch(
-                batch.alleles[:, :batch.needed_end],
-                batch.plan.first.astype(np.int32),
-                batch.plan.n_sites.astype(np.int32))
+            with timer.stage("kernel"):
+                handle = pair_k.window_pair_counts_dispatch(
+                    batch.alleles[:, :batch.needed_end],
+                    batch.plan.first.astype(np.int32),
+                    batch.plan.n_sites.astype(np.int32))
             return batch, handle
 
         def finalize(batch, handle):
             plan = batch.plan
-            mism, shar = handle.collect()
-            mid = plan.mid(batch.positions)
-            rows = 0
-            for w in range(plan.n_windows):
-                rows += emit(plan, mism, shar, batch, w, mid)
+            with timer.stage("d2h"):
+                mism, shar = handle.collect()
+            with timer.stage("write"):
+                mid = plan.mid(batch.positions)
+                rows = 0
+                for w in range(plan.n_windows):
+                    rows += emit(plan, mism, shar, batch, w, mid)
             progress.update(rows=rows)
 
         engine.run_pipeline(
@@ -307,7 +326,7 @@ def main(argv=None) -> int:
                 reader, wind,
                 include=common.read_scaffold_list(args.include),
                 exclude=common.read_scaffold_list(args.exclude),
-                progress=progress, scaffold_pred=shard_pred),
+                progress=progress, timer=timer, scaffold_pred=shard_pred),
             dispatch, finalize,
             skip=lambda b: b.plan.n_windows == 0)
 
@@ -328,6 +347,7 @@ def main(argv=None) -> int:
         if o is not sys.stdout:
             o.close()
     progress.close()
+    timer.report()
     return 0
 
 

@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--threads", type=int, action="store", default=1)
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--test", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="report per-stage wall-clock timing on stderr")
     return p
 
 
@@ -348,7 +350,20 @@ def main(argv=None) -> int:
     # 361-365: 10 x 1 MB fileSlicer slices)
     test_sites_left = (10 * 1_000_000) // max(reader.model.n_rows * 2, 1) \
         if args.test else None
-    for chunk in _engine._prefetched(reader.iter_chunks()):
+    timer = _engine.StageTimer(args.profile)
+
+    def _timed_chunks():
+        with timer.stage("parse"):
+            it = iter(reader.iter_chunks())
+        while True:
+            with timer.stage("parse"):
+                try:
+                    c = next(it)
+                except StopIteration:
+                    return
+            yield c
+
+    for chunk in _engine._prefetched(_timed_chunks()):
         a, sids, pos = chunk.alleles, chunk.scaffold_ids, chunk.positions
         # global stream frontier BEFORE shard filtering: every host observes
         # the same scaffold sequence, so incremental gather rounds trigger
@@ -368,7 +383,8 @@ def main(argv=None) -> int:
             if not keep.all():
                 a, sids, pos = a[:, keep], sids[keep], pos[keep]
         if pos.size:
-            done = process_block(a, sids, pos)
+            with timer.stage("rows"):
+                done = process_block(a, sids, pos)
             progress.update(sites=done, rows=done)
         if mh_writer is not None and frontier is not None:
             mh_writer.maybe_gather(frontier, reader.scaffold_names)
@@ -385,10 +401,12 @@ def main(argv=None) -> int:
                 f"[gather] rank {multihost.process_index()} peak buffered "
                 f"{mh_writer.peak_buffered} B\n")
         progress.close()
+        timer.report()
         return 0
     if args.outFile:
         out.close()
     progress.close()
+    timer.report()
     return 0
 
 

@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-R", "--report", action="store", required=False, default=100000)
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--seed", action="store", type=int, default=42)
+    p.add_argument("--profile", action="store_true",
+                   help="report per-stage wall-clock timing on stderr")
     return p
 
 
@@ -146,6 +148,8 @@ def main(argv=None) -> int:
 
 
 def _run(args, include, exclude, n_intervals):
+    from ..engine import StageTimer
+    timer = StageTimer(getattr(args, "profile", False))
     intervals = None
     if getattr(args, "regions", None):
         intervals = Intervals(regions=args.regions)
@@ -224,9 +228,10 @@ def _run(args, include, exclude, n_intervals):
         reader = geno_io.rebind_reader(probe, sd)
         S = None                         # streamed; never materialized
     else:
-        names, table_body = _read_table_header(
-            args.inputFile if args.inputFile else sys.stdin.buffer,
-            args.header, args.firstSampleCol)
+        with timer.stage("read"):
+            names, table_body = _read_table_header(
+                args.inputFile if args.inputFile else sys.stdin.buffer,
+                args.header, args.firstSampleCol)
         if pop_names is None:
             pop_names = names
         col_of = {n: i for i, n in enumerate(names)}
@@ -312,9 +317,10 @@ def _run(args, include, exclude, n_intervals):
         # np.argsort so the nondeterministic-tie behavior matches numpy's
         from ..io import native
         from ..stats.sfs_accum import DenseFS, ScaffoldKeyTracker
-        res = native.parse_base_counts_targets(
-            table_body, len(names), [col_of[p] for p in in_pop_names],
-            col_of[outgroup] if outgroup else -1)
+        with timer.stage("parse"):
+            res = native.parse_base_counts_targets(
+                table_body, len(names), [col_of[p] for p in in_pop_names],
+                col_of[outgroup] if outgroup else -1)
         if res is not None:
             positions, tgt, ok, flag_idx, flag_counts, nhap_max, bnames, \
                 bounds = res
@@ -334,16 +340,20 @@ def _run(args, include, exclude, n_intervals):
                      for nm in bnames], dtype=bool)
                 sel_mask &= np.repeat(run_keep, run_sizes)
             sids = np.repeat(np.arange(len(bnames)), run_sizes)
-            keys = ScaffoldKeyTracker().keys_for(sids)
-            tgt_ok, keys_ok = tgt[sel_mask], keys[sel_mask]
-            emitters = []
-            for g in fs_pops:
-                gp = [in_pop_names.index(p) for p in g]
-                acc = DenseFS(tuple(int(nhap_max[j]) + 1 for j in gp),
-                              n_intervals)
-                acc.add_batch(acc.flat_index(tgt_ok[:, gp]), keys_ok)
-                emitters.append(acc)
-            return _write_output(args, emitters, fs_pops)
+            with timer.stage("accumulate"):
+                keys = ScaffoldKeyTracker().keys_for(sids)
+                tgt_ok, keys_ok = tgt[sel_mask], keys[sel_mask]
+                emitters = []
+                for g in fs_pops:
+                    gp = [in_pop_names.index(p) for p in g]
+                    acc = DenseFS(tuple(int(nhap_max[j]) + 1 for j in gp),
+                                  n_intervals)
+                    acc.add_batch(acc.flat_index(tgt_ok[:, gp]), keys_ok)
+                    emitters.append(acc)
+            with timer.stage("write"):
+                ret = _write_output(args, emitters, fs_pops)
+            timer.report()
+            return ret
 
     scafs, positions_l, rows = _parse_table_body(
         table_body, names, args.firstSampleCol,
