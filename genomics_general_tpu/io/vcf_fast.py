@@ -209,14 +209,19 @@ def convert_chunk(chunk, opts: FastVcfOpts, prev_name: bytes | None,
     return segments, prev_name, prev_pos
 
 
-def text_chunks(path_or_stream, chunk_bytes: int = 16 << 20):
+def text_chunks(path_or_stream, chunk_bytes: int | None = None):
     """Yield line-aligned decompressed text chunks of a VCF.
 
     ``path_or_stream``: a path (gz-aware; .gz goes through the C streaming
     decompressor when available) or a binary stream (stdin).  Comment lines
     pass through — the C converter skips them, so the header needs no
-    separate consumption."""
+    separate consumption.  GGT_VCF_CHUNK: test hook forcing tiny chunks (so
+    boundary-repair paths get exercised)."""
     import gzip as _gzip
+    import os
+
+    if chunk_bytes is None:
+        chunk_bytes = int(os.environ.get("GGT_VCF_CHUNK", 16 << 20))
 
     if isinstance(path_or_stream, str):
         if path_or_stream.endswith(".gz"):
@@ -307,34 +312,46 @@ def convert_stream(chunks, opts: FastVcfOpts, slow_line, emit_run,
 
     pool = ThreadPoolExecutor(max_workers=threads)
     pending: deque = deque()
-    # true boundary state for the stale-drop repair (known only once the
-    # previous chunk's results are written)
-    writer_state = {"name": None, "pos": -1}
+    # authoritative per-scaffold running position max for the stale-drop
+    # repair.  A worker's raw-tail start state can underestimate (the
+    # previous chunk's last line may itself have been stale-dropped), but
+    # chaining max(prior, worker's returned final position) per scaffold
+    # reconstructs the true sequential walk state exactly: both walks
+    # consume identical lines above the true max, the under-walk's extra
+    # consumptions are all at or below it, and a fresh scaffold inside a
+    # chunk is exact by construction
+    auth = {"name": None, "pos": -1}
 
-    def repair_and_emit(segs):
+    def repair_and_emit(segs, final_name, final_pos):
+        prior_name, prior_pos = auth["name"], auth["pos"]
         for name, data in segs:
             data = bytes(data)
-            if opts.sorted_drop and name == writer_state["name"] \
-                    and writer_state["pos"] >= 0:
-                # drop leading rows with POS <= running max (kept rows are
-                # strictly increasing per scaffold, so this reproduces the
-                # sequential walk exactly)
+            if opts.sorted_drop and name == prior_name and prior_pos >= 0:
+                # drop leading rows with POS <= the true running max (kept
+                # rows are strictly increasing per scaffold, so this
+                # reproduces the sequential walk exactly)
                 off = 0
                 while off < len(data):
                     nl = data.find(b"\n", off)
                     if nl < 0:
                         break
                     parts = data[off:nl].split(opts.out_sep, 2)
-                    if len(parts) >= 2 and int(parts[1]) > writer_state["pos"]:
+                    if len(parts) >= 2 and int(parts[1]) > prior_pos:
                         break
                     off = nl + 1
                 data = data[off:]
                 if not data:
                     continue
-            last = data.rstrip(b"\n").rsplit(b"\n", 1)[-1]
-            p = last.split(opts.out_sep, 2)
-            writer_state["name"], writer_state["pos"] = name, int(p[1])
+            else:
+                # a different scaffold appeared: the prior boundary state
+                # no longer applies within this chunk
+                prior_name = None
             emit_run(name, data)
+        if final_name is not None:
+            if final_name == auth["name"]:
+                auth["pos"] = max(auth["pos"], final_pos)
+            else:
+                auth["name"], auth["pos"] = final_name, final_pos
 
     prev_raw_tail = (None, -1)
     for chunk in chunks:
@@ -347,9 +364,9 @@ def convert_stream(chunks, opts: FastVcfOpts, slow_line, emit_run,
             prev_raw_tail = tc
         pending.append(fut)
         while pending and (len(pending) > threads + 1 or pending[0].done()):
-            segs, _, _ = pending.popleft().result()
-            repair_and_emit(segs)
+            segs, fname, fpos = pending.popleft().result()
+            repair_and_emit(segs, fname, fpos)
     while pending:
-        segs, _, _ = pending.popleft().result()
-        repair_and_emit(segs)
+        segs, fname, fpos = pending.popleft().result()
+        repair_and_emit(segs, fname, fpos)
     pool.shutdown()

@@ -83,3 +83,57 @@ def test_two_file_intersect_oracle(tmp_path):
         p = line.split("\t")
         assert (p[0], int(p[1])) == k
         assert p[2:] == rows_a[k] + rows_b[k]
+
+
+def test_parallel_chunks_adversarial_boundaries(tmp_path):
+    """Stale (backwards) and duplicate positions plus QUAL drops straddling
+    forced-tiny chunk boundaries: -t N with 1-4 KB chunks must match -t 1
+    and the Python path exactly (exercises the raw-tail state handoff and
+    the writer-side stale-drop repair)."""
+    import os
+    import random
+    import subprocess
+    import sys
+    rng = random.Random(3)
+    lines = ["##fileformat=VCFv4.2",
+             "##contig=<ID=c1,length=100000>",
+             "##contig=<ID=c2,length=100000>",
+             '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2"]
+    for chrom in ("c1", "c2"):
+        pos = 0
+        for _ in range(1500):
+            r = rng.random()
+            if r < 0.1 and pos > 10:
+                p = pos - rng.randint(1, 9)          # stale
+            elif r < 0.2 and pos > 0:
+                p = pos                               # duplicate
+            else:
+                pos += rng.randint(1, 20)
+                p = pos
+            q = rng.choice(["50", "10", "."])
+            gt = rng.choice(["0/1", "1|1", "./.", "0/0"])
+            lines.append(f"{chrom}\t{p}\t.\tA\tG\t{q}\tPASS\t.\tGT"
+                         f"\t{gt}\t0|1")
+    vcf = tmp_path / "adv.vcf"
+    vcf.write_text("\n".join(lines) + "\n")
+
+    def run(out, env, extra):
+        e = dict(os.environ)
+        e.update(env)
+        r = subprocess.run(
+            [sys.executable, "-m", "genomics_general_tpu.cli.parse_vcfs",
+             "-i", str(vcf), "--minQual", "30", "-o", out, *extra],
+            capture_output=True, env=e,
+            cwd=Path(__file__).parent.parent)
+        assert r.returncode == 0, r.stderr.decode()[-2000:]
+        return open(out, "rb").read()
+
+    base = run(str(tmp_path / "t1.geno"), {}, ["-t", "1"])
+    assert base
+    for name, env, extra in [
+            ("t4", {"GGT_VCF_CHUNK": "4096"}, ["-t", "4"]),
+            ("t2", {"GGT_VCF_CHUNK": "1024"}, ["-t", "2"]),
+            ("slow", {"GGT_HOST_VCF": "0"}, [])]:
+        got = run(str(tmp_path / f"{name}.geno"), env, extra)
+        assert got == base, name
