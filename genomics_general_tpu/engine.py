@@ -351,6 +351,13 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
     timer = timer or StageTimer(False)
     if min_flush_windows is None:
         min_flush_windows = int(os.environ.get("GGT_FLUSH_WINDOWS", 1024))
+    # site-budget flush trigger: a flush also fires once the planned span
+    # reaches this many sites, whatever the window count.  Per-flush wire
+    # bytes scale with sites (not windows), and on the high-RTT device link
+    # ~256k-site flushes (~2-3 MB wire) pipeline upload/compute/fetch far
+    # better than window-count-sized ones for big coordinate windows
+    # (measured: 0.42 s vs 0.70 s for the 50 kb popgen sweep)
+    flush_sites = int(os.environ.get("GGT_FLUSH_SITES", 1 << 18))
     flush_schedule = [max(1, min_flush_windows // 4),
                       max(1, min_flush_windows // 2)]
     flush_count = 0
@@ -464,7 +471,9 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         plan_step(snap, final=False)
         threshold = flush_schedule[flush_count] \
             if flush_count < len(flush_schedule) else min_flush_windows
+        abs_end = snap[5] + (snap[4] - snap[3])
         if (pending_windows >= threshold
+                or (pending_windows and abs_end - base_abs >= flush_sites)
                 or snap[4] - snap[3] > max_buffer_sites):
             flush_count += 1
             yield make_batch(snap)
