@@ -314,22 +314,9 @@ def main(argv=None) -> int:
     # an external C binary, or GIL-releasing numpy for builtin-nj) with an
     # ordered bounded reorder queue, the engine analog of the reference's
     # backpressured worker pool + sorter (phyml_sliding_windows.py:396-421).
-    from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
-    n_workers = max(1, args.threads)
-    pool = ThreadPoolExecutor(max_workers=n_workers) if n_workers > 1 else None
-    pending: deque = deque()      # (scaf, start, end, mid, n_sites, future|result)
-    max_pending = n_workers * 4
-
-    def drain(all_: bool = False):
-        def head_ready():
-            h = pending[0][5]
-            return not hasattr(h, "done") or h.done()
-        while pending and (all_ or len(pending) > max_pending or head_ready()):
-            scaf, start, end, mid, n_sites, res = pending.popleft()
-            if hasattr(res, "result"):
-                res = res.result()
-            write_result(scaf, start, end, mid, n_sites, res)
+    from ..parallel.hostpool import OrderedPool
+    pool = OrderedPool(max(1, args.threads),
+                       lambda meta, res: write_result(*meta, res))
 
     _NA = (["NA"] * (1 + args.bootstraps), "NA", "NA")
     windows_done = 0
@@ -370,27 +357,21 @@ def main(argv=None) -> int:
                                   & has).sum())
                 passing = sites_per_ind.min() >= min_per_ind and \
                     (n_snps is None or n_snps >= args.minSNPs)
+            meta = (scaf, start, end, mid, n_sites)
             if passing:
                 # bootstrap draws come off the seeded stream HERE (in window
                 # order), not on the worker, so -T never changes them
                 bs_cols = [rng.integers(0, n_sites, n_sites)
                            for _ in range(args.bootstraps)]
-                if pool is not None:
-                    res = pool.submit(compute_window, aln, n_sites, prefix,
-                                      bs_cols)
-                else:
-                    res = compute_window(aln, n_sites, prefix, bs_cols)
+                pool.submit(meta, compute_window, aln, n_sites, prefix,
+                            bs_cols)
             else:
-                res = _NA
-            pending.append((scaf, start, end, mid, n_sites, res))
-            drain()
+                pool.submit(meta, None, _NA)
             windows_done += 1
             if args.test and windows_done == 10:
                 stop = True
                 break
-    drain(all_=True)
-    if pool is not None:
-        pool.shutdown()
+    pool.close()
 
     if mh_data is not None:
         rank0 = multihost.process_index() == 0

@@ -153,22 +153,9 @@ def main(argv=None) -> int:
     # -T worker pool with an ordered bounded reorder queue (the reference's
     # raxml script has the same worker/sorter architecture,
     # raxml_sliding_windows.py:47-65)
-    from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
-    n_workers = max(1, args.threads)
-    pool = ThreadPoolExecutor(max_workers=n_workers) if n_workers > 1 else None
-    pending: deque = deque()
-    max_pending = n_workers * 4
-
-    def drain(all_: bool = False):
-        def head_ready():
-            h = pending[0][5]
-            return not hasattr(h, "done") or h.done()
-        while pending and (all_ or len(pending) > max_pending or head_ready()):
-            scaf, start, end, mid, n_sites, res = pending.popleft()
-            if hasattr(res, "result"):
-                res = res.result()
-            write_result(scaf, start, end, mid, n_sites, res)
+    from ..parallel.hostpool import OrderedPool
+    pool = OrderedPool(max(1, args.threads),
+                       lambda meta, res: write_result(*meta, res))
 
     # stream flush batches (O(flush) memory; subprocess work per window)
     from .. import engine
@@ -203,18 +190,12 @@ def main(argv=None) -> int:
                     var = int((((sub != ref[None, :]) & called).any(axis=0)
                                & has).sum())
                     ok = var >= args.minSNPs
+            meta = (scaf, start, end, mid, n_sites)
             if ok:
-                if pool is not None:
-                    res = pool.submit(compute_window, aln, scaf, start, end)
-                else:
-                    res = compute_window(aln, scaf, start, end)
+                pool.submit(meta, compute_window, aln, scaf, start, end)
             else:
-                res = "NA\n"
-            pending.append((scaf, start, end, mid, n_sites, res))
-            drain()
-    drain(all_=True)
-    if pool is not None:
-        pool.shutdown()
+                pool.submit(meta, None, "NA\n")
+    pool.close()
 
     if mh_data is not None:
         rank0 = multihost.process_index() == 0
