@@ -821,19 +821,24 @@ extern "C" int64_t vcf_to_geno_chunk(
     *written_out = off; *prev_pos_out = prev_pos; return line_start + 1; }
   while (i < len) {
     int64_t line_start = i;
-    if (buf[i] == '#') { while (i < len && buf[i] != '\n') ++i; ++i; continue; }
-    if (buf[i] == '\n') { ++i; continue; }
+    // memchr-based scanning: field splits ride glibc's vectorized memchr
+    // (~2x the byte-loop throughput on long sample rows)
+    const uint8_t* eol = (const uint8_t*)memchr(buf + i, '\n',
+                                                (size_t)(len - i));
+    int64_t line_end = eol ? (int64_t)(eol - buf) : len;
+    if (buf[i] == '#') { i = line_end + 1; continue; }
+    if (i == line_end) { ++i; continue; }
     // locate the 9 fixed fields + sample fields
     const uint8_t* f_ptr[9];
     int64_t f_len[9];
     bool ok_line = true;
     for (int fidx = 0; fidx < 9; ++fidx) {
+      const uint8_t* tab = (const uint8_t*)memchr(buf + i, '\t',
+                                                  (size_t)(line_end - i));
+      if (!tab) { ok_line = false; break; }
       f_ptr[fidx] = buf + i;
-      int64_t s0 = i;
-      while (i < len && buf[i] != '\t' && buf[i] != '\n') ++i;
-      f_len[fidx] = i - s0;
-      if (i >= len || buf[i] != '\t') { ok_line = false; break; }
-      ++i;
+      f_len[fidx] = (int64_t)(tab - buf) - i;
+      i = (int64_t)(tab - buf) + 1;
     }
     if (!ok_line) LINE_BAIL();
     int64_t samples_start = i;     // first sample field
@@ -860,13 +865,11 @@ extern "C" int64_t vcf_to_geno_chunk(
     // scaffold
     if (!new_scaf && prev_pos >= 0) {
       if (drop_dups && pos == prev_pos) {
-        while (i < len && buf[i] != '\n') ++i;
-        ++i;
+        i = line_end + 1;
         continue;
       }
       if (sorted_drop && pos <= prev_pos) {
-        while (i < len && buf[i] != '\n') ++i;
-        ++i;
+        i = line_end + 1;
         continue;
       }
     }
@@ -879,8 +882,7 @@ extern "C" int64_t vcf_to_geno_chunk(
       char* endp = nullptr;
       double q = strtod(tmp, &endp);
       if (endp == tmp + n && n > 0 && q < min_qual) {
-        while (i < len && buf[i] != '\n') ++i;
-        ++i;
+        i = line_end + 1;
         // a dropped line still advances the walk (duplicate suppression
         // happens before the QUAL gate in the reference)
         if (new_scaf) { cur_name = f_ptr[0]; cur_name_len = f_len[0]; }
@@ -891,8 +893,7 @@ extern "C" int64_t vcf_to_geno_chunk(
     // REF length gates
     int64_t ref_len = f_len[3];
     if (max_ref_len && ref_len > max_ref_len) {
-      while (i < len && buf[i] != '\n') ++i;
-      ++i;
+      i = line_end + 1;
       if (new_scaf) { cur_name = f_ptr[0]; cur_name_len = f_len[0]; }
       prev_pos = pos;
       continue;
@@ -943,23 +944,24 @@ extern "C" int64_t vcf_to_geno_chunk(
     int64_t s_len_all[1024];
     if (n_samples > 1024) LINE_BAIL();
     {
+      int64_t p = i;
       int32_t fld = 0;
-      int64_t s0 = i;
-      while (i <= len) {
-        if (i == len || buf[i] == '\t' || buf[i] == '\n') {
-          if (fld < n_samples) {
-            s_ptr_all[fld] = buf + s0;
-            s_len_all[fld] = i - s0;
-          }
-          ++fld;
-          s0 = i + 1;
-          if (i >= len || buf[i] == '\n') break;
-        }
-        ++i;
+      while (fld < n_samples - 1) {
+        const uint8_t* tab = (const uint8_t*)memchr(buf + p, '\t',
+                                                    (size_t)(line_end - p));
+        if (!tab) break;
+        s_ptr_all[fld] = buf + p;
+        s_len_all[fld] = (int64_t)(tab - buf) - p;
+        p = (int64_t)(tab - buf) + 1;
+        ++fld;
       }
-      if (fld != n_samples) LINE_BAIL();
+      if (fld != n_samples - 1) LINE_BAIL();
+      if (memchr(buf + p, '\t', (size_t)(line_end - p)) != nullptr)
+        LINE_BAIL();                      // extra fields: count mismatch
+      s_ptr_all[fld] = buf + p;
+      s_len_all[fld] = line_end - p;
     }
-    ++i;  // past newline
+    i = line_end + 1;
     (void)samples_start;
     // capacity check (worst case: per sample ploidy * (max allele len) +
     // separators)
