@@ -74,8 +74,11 @@ def _fast_path(args, samples, include, exclude, gt_filters) -> bool:
 
     from ..io import vcf_fast
 
-    if os.environ.get("GGT_HOST_VCF") == "0" or \
-            not vcf_fast.eligible(args, gt_filters, 0):
+    if os.environ.get("GGT_HOST_VCF") == "0":
+        return False
+    reason = vcf_fast.ineligible_reason(args, gt_filters, 0)
+    if reason is not None:
+        vcf_fast.notice_fallback("parseVCF", reason)
         return False
     if args.inFile:
         head_data = V.get_head_data(args.inFile)
@@ -83,8 +86,12 @@ def _fast_path(args, samples, include, exclude, gt_filters) -> bool:
     else:
         head_data, chunks = vcf_fast.stdin_header_chunks(sys.stdin.buffer)
         if head_data is None:
+            vcf_fast.notice_fallback(
+                "parseVCF", "no #CHROM line in the first 64 MB of stdin")
             return False
     if head_data["nSamples"] > 1024:
+        vcf_fast.notice_fallback(
+            "parseVCF", f"{head_data['nSamples']} samples > 1024")
         return False
     if samples:
         for s in samples:
@@ -113,19 +120,27 @@ def _fast_path(args, samples, include, exclude, gt_filters) -> bool:
 
     headers = head_data["mainHeaders"]
 
-    def slow_line(line, prev_name, prev_pos):
+    def slow_line(line, prev_name, prev_pos, prev_ptext=None):
         elements = line.decode().split()
-        chrom, pos = elements[0], int(elements[1])
+        chrom, pos_text = elements[0], elements[1]
+        pos = int(pos_text)
         name_b = chrom.encode()
+        ptext_b = pos_text.encode()
         if args.excludeDuplicates and prev_name is not None \
-                and name_b == prev_name and pos == prev_pos:
-            return None, prev_name, prev_pos
+                and name_b == prev_name:
+            # the reference compares POS as raw TEXT (parseVCF.py
+            # parseVcfSites: elements[1] == lastPos): '0100' after '100'
+            # is NOT a duplicate
+            prev_text = prev_ptext if prev_ptext is not None \
+                else str(prev_pos).encode()
+            if ptext_b == prev_text:
+                return None, prev_name, prev_pos, prev_ptext
         site = V.VcfSite(elements=elements, headers=headers)
         if args.minQual and V.can_float(site.QUAL) and \
                 float(site.QUAL) < args.minQual:
-            return None, name_b, pos
+            return None, name_b, pos, ptext_b
         if args.maxREFlen and len(site.REF) > args.maxREFlen:
-            return None, name_b, pos
+            return None, name_b, pos, ptext_b
         output = site.getGenotypes(
             gt_filters, asList=True, withPhase=True, samples=samples,
             missing=args.missing, mustMatchREFlen=args.skipIndels,
@@ -135,7 +150,7 @@ def _fast_path(args, samples, include, exclude, gt_filters) -> bool:
         if args.addRefTrack:
             first.append(site.REF)
         row = (args.outSep.join(first + output) + "\n").encode()
-        return row, name_b, pos
+        return row, name_b, pos, ptext_b
 
     def emit_run(name, data):
         nm = name.decode()

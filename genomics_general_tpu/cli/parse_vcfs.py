@@ -50,12 +50,17 @@ def _fast_single(args, head_data, samples_per_file, ploidy_dict, gt_filters,
 
     if len(args.inFile) != 1 or args.method == "all" or args.test:
         return False
-    if os.environ.get("GGT_HOST_VCF") == "0" or \
-            not vcf_fast.eligible(args, gt_filters, 0):
+    if os.environ.get("GGT_HOST_VCF") == "0":
+        return False
+    reason = vcf_fast.ineligible_reason(args, gt_filters, 0)
+    if reason is not None:
+        vcf_fast.notice_fallback("parseVCFs", reason)
         return False
     head = head_data[0]
     samples = samples_per_file[0]
     if head["nSamples"] > 1024:
+        vcf_fast.notice_fallback(
+            "parseVCFs", f"{head['nSamples']} samples > 1024")
         return False
 
     opts = vcf_fast.make_opts(args, gt_filters, head["sampleNames"],
@@ -104,18 +109,20 @@ def _fast_single(args, head_data, samples_per_file, ploidy_dict, gt_filters,
 
     headers = head["mainHeaders"]
 
-    def slow_line(line, prev_name, prev_pos):
+    def slow_line(line, prev_name, prev_pos, prev_ptext=None):
+        # the positional walk compares POS as integers (the merge iterates
+        # genome positions), so no raw-text carry is needed here
         elements = line.decode().split()
         chrom, pos = elements[0], int(elements[1])
         name_b = chrom.encode()
         if prev_name == name_b and pos <= prev_pos:
-            return None, prev_name, prev_pos     # stale/duplicate
+            return None, prev_name, prev_pos, None   # stale/duplicate
         site = V.VcfSite(elements=elements, headers=headers)
         if args.minQual and V.can_float(site.QUAL) and \
                 float(site.QUAL) < args.minQual:
-            return None, name_b, pos
+            return None, name_b, pos, None
         if args.maxREFlen and len(site.REF) > args.maxREFlen:
-            return None, name_b, pos
+            return None, name_b, pos, None
         output = site.getGenotypes(
             gt_filters, asList=True, withPhase=True, samples=samples,
             missing=args.missing, mustMatchREFlen=args.skipIndels,
@@ -123,7 +130,7 @@ def _fast_single(args, head_data, samples_per_file, ploidy_dict, gt_filters,
             ploidyMismatchToMissing=args.ploidyMismatchToMissing)
         row = (args.outSep.join([chrom, str(site.POS)] + output)
                + "\n").encode()
-        return row, name_b, pos
+        return row, name_b, pos, None
 
     vcf_fast.convert_stream(vcf_fast.text_chunks(args.inFile[0]), opts,
                             slow_line, emit_run,

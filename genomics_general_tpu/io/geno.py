@@ -403,7 +403,11 @@ class GenoReader:
                     [len(o) for o in self.model.ind_order],
                     self.model.ind_order, self._gt_block_len,
                     self.geno_format)
-            except Exception:
+            except Exception as e:
+                import sys
+                sys.stderr.write(
+                    f"[info] geno reader: C tokenizer unavailable ({e!r}); "
+                    "using the vectorized numpy parser\n")
                 self._native_failed = True
         return True
 

@@ -53,23 +53,41 @@ class FastVcfOpts:
     out_sep: bytes = b"\t"
 
 
-def eligible(args, gt_filters, n_samples: int) -> bool:
-    """Can the C fast path handle this CLI configuration?  Anything outside
-    the common case falls back to the Python VcfSite pipeline wholesale."""
+def ineligible_reason(args, gt_filters, n_samples: int) -> str | None:
+    """None if the C fast path can handle this CLI configuration, else a
+    human-readable reason.  Anything outside the common case falls back to
+    the Python VcfSite pipeline wholesale (callers log the reason — a
+    silent >10x perf cliff costs users real hours)."""
     if native.get_lib() is None or \
             not hasattr(native.get_lib(), "vcf_to_geno_chunk"):
-        return False
-    if getattr(args, "field", None) or getattr(args, "expandMulti", False) \
-            or getattr(args, "simplifyALT", False):
-        return False
+        return "native library unavailable"
+    if getattr(args, "field", None):
+        return "--field needs the Python pipeline"
+    if getattr(args, "expandMulti", False):
+        return "--expandMulti needs the Python pipeline"
+    if getattr(args, "simplifyALT", False):
+        return "--simplifyALT needs the Python pipeline"
     if len(args.outSep) != 1:
-        return False
-    if n_samples > 1024 or len(gt_filters) > 8:
-        return False
+        return "multi-character --outSep"
+    if n_samples > 1024:
+        return f"{n_samples} samples > 1024"
+    if len(gt_filters) > 8:
+        return f"{len(gt_filters)} genotype filters > 8"
     for f in gt_filters:
-        if any(k in f for k in ("siteTypes", "gtTypes", "samples")):
-            return False
-    return True
+        for k in ("siteTypes", "gtTypes", "samples"):
+            if k in f:
+                return f"genotype filter with {k}= needs the Python pipeline"
+    return None
+
+
+def eligible(args, gt_filters, n_samples: int) -> bool:
+    return ineligible_reason(args, gt_filters, n_samples) is None
+
+
+def notice_fallback(tool: str, reason: str):
+    import sys
+    sys.stderr.write(f"[info] {tool}: C fast path disabled ({reason}); "
+                     "using the per-line Python pipeline\n")
 
 
 def make_opts(args, gt_filters, head_samples, samples, ploidy_dict) -> FastVcfOpts:
@@ -91,8 +109,11 @@ def make_opts(args, gt_filters, head_samples, samples, ploidy_dict) -> FastVcfOp
 
 
 def _tail_coords(chunk: bytes):
-    """(CHROM, POS-bytes) of the last data line of a raw text chunk, or
-    None if the chunk has no data line."""
+    """(CHROM, POS-int, POS-raw-bytes) of the last data line of a raw text
+    chunk, or None if the chunk has no data line.  The raw POS bytes matter
+    because the reference compares duplicate positions as TEXT
+    (parseVCF.py parseVcfSites: elements[1] == lastPos), so '0100' and
+    '100' are distinct positions for --excludeDuplicates."""
     end = len(chunk)
     while end > 0:
         nl = chunk.rfind(b"\n", 0, end - 1)
@@ -103,7 +124,7 @@ def _tail_coords(chunk: bytes):
         parts = line.split(b"\t", 2)
         if len(parts) >= 2:
             try:
-                return parts[0], int(parts[1])
+                return parts[0], int(parts[1]), parts[1]
             except ValueError:
                 return None
         return None
@@ -111,13 +132,18 @@ def _tail_coords(chunk: bytes):
 
 
 def convert_chunk(chunk, opts: FastVcfOpts, prev_name: bytes | None,
-                  prev_pos: int, slow_line):
+                  prev_pos: int, slow_line, prev_ptext: bytes | None = None):
     """Convert one decompressed text chunk.
 
-    Returns (segments, final_name, final_pos) where segments is an ordered
-    list of (scaffold_name_bytes, bytes) runs.  ``slow_line(line_bytes,
-    state)`` handles a bail line with the full Python path; it receives and
-    returns (row_bytes_or_None, name, pos) given the current walk state.
+    Returns (segments, final_name, final_pos, final_ptext) where segments
+    is an ordered list of (scaffold_name_bytes, bytes) runs.
+    ``slow_line(line_bytes, prev_name, prev_pos, prev_ptext)`` handles a
+    bail line with the full Python path; it receives and returns
+    (row_bytes_or_None, name, pos, pos_text) given the current walk state.
+    ``prev_ptext`` is the raw POS bytes of the previous data line when they
+    are NOT the canonical decimal form of ``prev_pos`` (None = canonical);
+    lines the C converter consumes always have canonical POS (non-canonical
+    ones bail), so only slow_line and cross-chunk raw tails can set it.
     """
     lib = native.get_lib()
     if isinstance(chunk, np.ndarray):
@@ -146,6 +172,16 @@ def convert_chunk(chunk, opts: FastVcfOpts, prev_name: bytes | None,
         consumed = ctypes.c_int64(0)
         written = ctypes.c_int64(0)
         ppos = ctypes.c_int64(0)
+        # duplicate suppression compares POS as text in the reference; when
+        # the carried previous POS text is non-canonical the C converter's
+        # integer compare could wrongly drop a canonical line, so disarm it
+        # (a canonical current POS can never text-equal a non-canonical
+        # previous one; a non-canonical current POS bails to slow_line,
+        # which does the text compare itself)
+        c_prev_pos = prev_pos
+        if opts.drop_dups and prev_ptext is not None and \
+                prev_ptext != str(prev_pos).encode():
+            c_prev_pos = -1
         ret = lib.vcf_to_geno_chunk(
             ctypes.cast(ctypes.c_char_p(sub), ctypes.c_void_p),
             np.int64(len(sub)),
@@ -159,14 +195,12 @@ def convert_chunk(chunk, opts: FastVcfOpts, prev_name: bytes | None,
             np.int32(len(opts.filt_flags)), flags_blob, flag_lens, fmin, fmax,
             ctypes.c_uint8(opts.out_sep[0]),
             prev_name, np.int64(len(prev_name) if prev_name else 0),
-            np.int64(prev_pos),
+            np.int64(c_prev_pos),
             out_prev, np.int64(len(out_prev) if out_prev else 0),
             out, np.int64(out.size),
             breaks, np.int64(65536),
             ctypes.byref(nb), ctypes.byref(consumed), ctypes.byref(written),
             ctypes.byref(ppos))
-        if ret == -1:
-            raise RuntimeError("vcf_to_geno_chunk: break table overflow")
         # slice output into scaffold runs
         w = written.value
         k = nb.value
@@ -182,15 +216,29 @@ def convert_chunk(chunk, opts: FastVcfOpts, prev_name: bytes | None,
         c = consumed.value
         # walk state after the consumed region: scaffold = last seen line's
         # CHROM; position = C's exact carry (the running max in stale-drop
-        # mode — stale lines do not update it)
+        # mode — stale lines do not update it).  Consumed lines always have
+        # canonical POS text, so the text carry resets.
         if c:
             tc = _tail_coords(sub[:c])
             if tc is not None:
                 prev_name = tc[0]
             prev_pos = ppos.value
+            prev_ptext = None
         if ret == 0:
             break
         if ret == -5:                      # output full: resume
+            if c == 0:
+                # not even one line fits the worst-case output estimate
+                # (e.g. a tiny tail chunk of a many-sample VCF with long
+                # ALT alleles): grow the buffer instead of spinning
+                out = np.empty(out.size * 2, dtype=np.uint8)
+            i += c
+            continue
+        if ret == -1:                      # break table full: flush + resume
+            if c == 0:
+                raise RuntimeError(
+                    "vcf_to_geno_chunk: break table overflow with no "
+                    "progress")
             i += c
             continue
         # bail line at sub[ret-1 ...]: full Python path for this one line
@@ -200,13 +248,13 @@ def convert_chunk(chunk, opts: FastVcfOpts, prev_name: bytes | None,
         le = sub.find(b"\n", ls)
         le = len(sub) if le < 0 else le + 1
         line = sub[ls:le]
-        row, nm, ps = slow_line(line, prev_name, prev_pos)
+        row, nm, ps, ptx = slow_line(line, prev_name, prev_pos, prev_ptext)
         if row is not None:
             add_segment(nm, row)
             out_prev = nm
-        prev_name, prev_pos = nm, ps
+        prev_name, prev_pos, prev_ptext = nm, ps, ptx
         i += le
-    return segments, prev_name, prev_pos
+    return segments, prev_name, prev_pos, prev_ptext
 
 
 def text_chunks(path_or_stream, chunk_bytes: int | None = None):
@@ -229,14 +277,26 @@ def text_chunks(path_or_stream, chunk_bytes: int | None = None):
                 blob = f.read()
             try:
                 sess = native.GzChunkStream(blob, chunk_bytes)
+            except RuntimeError:
+                sess = None
+            if sess is not None:
+                yielded = False
                 while True:
-                    c = sess.next_chunk()
+                    try:
+                        c = sess.next_chunk()
+                    except RuntimeError:
+                        # mid-stream failure (e.g. a single line beyond the
+                        # C scanner's tail cap): once chunks have been
+                        # yielded, restarting from the blob would duplicate
+                        # them — propagate instead
+                        if yielded:
+                            raise
+                        break
                     if c is None:
                         return
+                    yielded = True
                     yield c
-                return
-            except RuntimeError:
-                stream = _gzip.GzipFile(fileobj=__import__("io").BytesIO(blob))
+            stream = _gzip.GzipFile(fileobj=__import__("io").BytesIO(blob))
         else:
             stream = open(path_or_stream, "rb")
     else:
@@ -302,10 +362,10 @@ def convert_stream(chunks, opts: FastVcfOpts, slow_line, emit_run,
     scaffold runs (caller applies include/exclude and writes).
     """
     if threads <= 1:
-        prev_name, prev_pos = None, -1
+        prev_name, prev_pos, prev_ptext = None, -1, None
         for chunk in chunks:
-            segs, prev_name, prev_pos = convert_chunk(
-                chunk, opts, prev_name, prev_pos, slow_line)
+            segs, prev_name, prev_pos, prev_ptext = convert_chunk(
+                chunk, opts, prev_name, prev_pos, slow_line, prev_ptext)
             for name, data in segs:
                 emit_run(name, bytes(data))
         return
@@ -353,20 +413,25 @@ def convert_stream(chunks, opts: FastVcfOpts, slow_line, emit_run,
             else:
                 auth["name"], auth["pos"] = final_name, final_pos
 
-    prev_raw_tail = (None, -1)
+    prev_raw_tail = (None, -1, None)
     for chunk in chunks:
         if isinstance(chunk, np.ndarray):
             chunk = chunk.tobytes()
         fut = pool.submit(convert_chunk, chunk, opts,
-                          prev_raw_tail[0], prev_raw_tail[1], slow_line)
+                          prev_raw_tail[0], prev_raw_tail[1], slow_line,
+                          prev_raw_tail[2])
         tc = _tail_coords(chunk)
         if tc is not None:
-            prev_raw_tail = tc
+            name, ipos, ptext = tc
+            # carry the raw POS bytes only when non-canonical (the text-
+            # compare duplicate check needs them; see _tail_coords)
+            canon = ptext == str(ipos).encode()
+            prev_raw_tail = (name, ipos, None if canon else ptext)
         pending.append(fut)
         while pending and (len(pending) > threads + 1 or pending[0].done()):
-            segs, fname, fpos = pending.popleft().result()
+            segs, fname, fpos, _ = pending.popleft().result()
             repair_and_emit(segs, fname, fpos)
     while pending:
-        segs, fname, fpos = pending.popleft().result()
+        segs, fname, fpos, _ = pending.popleft().result()
         repair_and_emit(segs, fname, fpos)
     pool.shutdown()
