@@ -3,8 +3,9 @@
 
 Prints ONE JSON line:
   {"metric": "popgen_sites_per_s_per_chip", "value": N, "unit": "sites/s",
-   "vs_baseline": ratio_vs_reference_single_thread, "stages": {...},
-   "engine_runs_s": [...], "ref_runs_s": [...]}
+   "vs_baseline": paired_ratio_median, "vs_baseline_of_medians": ...,
+   "stages": {...}, "engine_runs_s": [...], "ref_runs_s": [...],
+   "pair_ratios": [...], "cold_runs_s": [...]}
 
 Method
 ------
@@ -12,11 +13,18 @@ Method
   4 pops, BENCH_SITES sites across 4 scaffolds), cached in .bench_cache/.
 * engine: end-to-end pipeline (gz text parse -> window plan -> biallelic
   wire upload -> MXU pair counts -> on-device f64 block finalize -> CSV)
-  via the library CLI entry; one warm-up run (jit compile), then the
-  MEDIAN of N_RUNS (default 5) timed runs, interleaved with reference runs.
+  via the library CLI entry; two warm-up runs (jit compile — their walls
+  are recorded as ``cold_runs_s``, the first one in a fresh process is the
+  cold-start cost incl. persistent-cache loads), then N_RUNS (default 9)
+  timed runs interleaved with reference runs.
 * baseline: the reference popgenWindows.py -T 1 on a subset of the same
-  data (sites/s extrapolates; the reference is O(sites) in this regime);
-  same interleave.
+  data (sites/s extrapolates; the reference is O(sites) in this regime).
+* statistic: this host's throughput swings several-fold minute to minute,
+  so each iteration runs BOTH sides back to back (order alternating every
+  iteration to cancel adjacency bias) and ``vs_baseline`` is the MEDIAN OF
+  THE PER-ITERATION RATIOS engine_sps_i / ref_sps_i — the paired estimator
+  the interleave exists to enable.  The ratio-of-medians is also reported
+  for continuity with earlier rounds.
 * stages: lane-grouped stage split (StageTimer.split) from the fastest
   timed engine run.  Stages on different pipeline threads overlap, so the
   split reports per-lane busy/idle against wall time (idle >= 0 by
@@ -39,7 +47,7 @@ CACHE = REPO / ".bench_cache"
 BENCH_SITES = int(os.environ.get("BENCH_SITES", 2_000_000))
 REF_SITES = int(os.environ.get("BENCH_REF_SITES", 40_000))
 REF_PATH = os.environ.get("BENCH_REF", "/root/reference")
-N_RUNS = int(os.environ.get("BENCH_RUNS", 5))
+N_RUNS = int(os.environ.get("BENCH_RUNS", 9))
 
 sys.path.insert(0, str(REPO))
 
@@ -94,64 +102,88 @@ def run_reference(sub, pops, out):
     return dt
 
 
+def _timed_engine_run(stages_out):
+    """One timed engine run with the StageTimer split captured."""
+    from genomics_general_tpu import engine as _eng
+    rec = {}
+    orig_report = _eng.StageTimer.report
+
+    def report(self, stream=None, extra=""):
+        # lane-grouped split: stages on different threads overlap, so
+        # per-lane busy/idle (non-negative by construction) replaces the
+        # old flat sum whose residual could go negative
+        rec.update(self.split())
+    _eng.StageTimer.report = report
+    try:
+        geno, pops, _ = _timed_engine_run.data
+        dt = run_engine(geno, pops, "/tmp/bench_engine.csv", profile=True)
+    finally:
+        _eng.StageTimer.report = orig_report
+    stages_out.append((dt, dict(rec)))
+    return dt
+
+
 def main():
     geno, pops, sub = ensure_data()
+    _timed_engine_run.data = (geno, pops, sub)
 
-    # two warm-up runs (jit compile + page cache), then timed runs.
-    # Engine and reference runs are INTERLEAVED so both sides sample the
-    # same host-weather distribution (this box's CPU/memory throughput
-    # swings several-fold minute to minute; back-to-back blocks would bias
-    # the ratio either way).
-    run_engine(geno, pops, "/tmp/bench_engine_warm.csv")
-    run_engine(geno, pops, "/tmp/bench_engine_warm.csv")
+    # two warm-up runs (jit compile + page cache); their walls are the
+    # cold-start record — the first run of a fresh process pays persistent-
+    # cache loads (or full XLA compiles on an empty cache)
+    cold_runs = [run_engine(geno, pops, "/tmp/bench_engine_warm.csv"),
+                 run_engine(geno, pops, "/tmp/bench_engine_warm.csv")]
+
+    have_ref = Path(REF_PATH).exists()
     times = []
     ref_times = []
-    stages = None
-    have_ref = Path(REF_PATH).exists()
+    pairs = []            # (engine_dt, ref_dt) per iteration
+    staged: list = []
     for i in range(N_RUNS):
-        # capture the stage split from the engine's StageTimer (the timer
-        # reports to stderr; grab the dict directly)
-        from genomics_general_tpu import engine as _eng
-        rec = {}
-        orig_report = _eng.StageTimer.report
-
-        def report(self, stream=None, extra=""):
-            # lane-grouped split: stages on different threads overlap, so
-            # per-lane busy/idle (non-negative by construction) replaces the
-            # old flat sum whose residual could go negative
-            rec.update(self.split())
-        _eng.StageTimer.report = report
-        try:
-            dt = run_engine(geno, pops, "/tmp/bench_engine.csv", profile=True)
-        finally:
-            _eng.StageTimer.report = orig_report
+        # alternate order every iteration so neither side systematically
+        # runs in the other's CPU-burst shadow
+        if i % 2 == 0:
+            dt = _timed_engine_run(staged)
+            ref_dt = run_reference(sub, pops, "/tmp/bench_ref.csv") \
+                if have_ref else None
+        else:
+            ref_dt = run_reference(sub, pops, "/tmp/bench_ref.csv") \
+                if have_ref else None
+            dt = _timed_engine_run(staged)
         times.append(dt)
-        if stages is None or dt <= min(times):
-            stages = dict(rec)
-        if have_ref:
-            ref_dt = run_reference(sub, pops, "/tmp/bench_ref.csv")
-            if ref_dt:
-                ref_times.append(ref_dt)
+        if ref_dt:
+            ref_times.append(ref_dt)
+            pairs.append((dt, ref_dt))
+
     dt = statistics.median(times)
     engine_sps = BENCH_SITES / dt
+    stages = min(staged, key=lambda x: x[0])[1] if staged else None
 
     ref_sps = None
+    vs_pairs = None
+    vs_medians = None
+    ratios = []
     if ref_times:
         ref_sps = REF_SITES / statistics.median(ref_times)
+        vs_medians = engine_sps / ref_sps
+        ratios = [(BENCH_SITES / e) / (REF_SITES / r) for e, r in pairs]
+        vs_pairs = statistics.median(ratios)
 
-    vs = (engine_sps / ref_sps) if ref_sps else None
     print(json.dumps({
         "metric": "popgen_sites_per_s_per_chip",
         "value": round(engine_sps, 1),
         "unit": "sites/s",
-        "vs_baseline": round(vs, 2) if vs else None,
+        "vs_baseline": round(vs_pairs, 2) if vs_pairs else None,
+        "vs_baseline_of_medians": round(vs_medians, 2) if vs_medians else None,
         "stages": stages,
         "engine_runs_s": [round(t, 3) for t in times],
         "ref_runs_s": [round(t, 3) for t in ref_times],
+        "pair_ratios": [round(r, 1) for r in ratios],
+        "cold_runs_s": [round(t, 3) for t in cold_runs],
     }))
     sys.stderr.write(
         f"engine: {engine_sps:,.0f} sites/s ({BENCH_SITES} sites, median of "
-        f"{N_RUNS}); reference 1-thread: {ref_sps:,.0f} sites/s\n" if ref_sps
+        f"{N_RUNS}); reference 1-thread: {ref_sps:,.0f} sites/s; paired "
+        f"ratio median {vs_pairs:.1f}x\n" if ref_sps
         else f"engine: {engine_sps:,.0f} sites/s; reference unavailable\n")
 
 

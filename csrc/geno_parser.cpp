@@ -1352,4 +1352,278 @@ int64_t gz_stream_next(void* p, uint8_t* out, int64_t cap) {
 #endif
 }
 
+// ---- wire v3: class-partitioned pair planes ------------------------------
+//
+// The pairwise mismatch/shared kernel only needs per-site per-haplotype
+// information for sites that can produce a nonzero mismatch or a nonuniform
+// shared contribution.  Classifying sites lets most of the wire bytes stay
+// on the host (real cohorts are overwhelmingly monomorphic):
+//
+//   class 1 (A): one called allele, no missing  -> shared += 1 for every
+//                pair; a per-window COUNT suffices, zero wire bits
+//   class 2 (B): one called allele (or none... see 0), some missing
+//                -> shared needs the 1-bit called plane; mismatch = 0
+//   class 3 (C): two called alleles, no missing -> mismatch needs the 1-bit
+//                alt plane; shared += 1 per pair (counted with A)
+//   class 4 (D): two called alleles, some missing -> both planes (2 bits)
+//   class 0    : no called alleles -> contributes nothing, dropped
+//   class 5    : >2 called alleles -> exception, raw codes shipped
+//
+// classify_pair_sites: one pass filling cls[u8 S], refalt[u8 S] (ref |
+// alt<<2), ex_idx[i32] and counts[5] = {nA, nB, nC, nD, nAC} (nAC =
+// nA + nC, the per-pair constant-shared site count).  Returns n_ex or -1
+// when max_ex is exceeded.
+int64_t classify_pair_sites(
+    const int8_t* alleles, int64_t n_rows, int64_t row_stride,
+    int64_t n_sites, uint8_t* cls, uint8_t* refalt,
+    int32_t* ex_idx, int64_t max_ex, int64_t* counts) {
+  uint8_t* seen = new uint8_t[(size_t)n_sites]();
+  uint8_t* anymiss = new uint8_t[(size_t)n_sites]();
+  for (int64_t h = 0; h < n_rows; ++h) {
+    const int8_t* row = alleles + h * row_stride;
+    for (int64_t s = 0; s < n_sites; ++s) {
+      int8_t c = row[s];
+      seen[s] |= (c >= 0) ? (uint8_t)(1u << c) : 0u;
+      anymiss[s] |= (uint8_t)(c < 0);
+    }
+  }
+  int64_t n_ex = 0, nA = 0, nB = 0, nC = 0, nD = 0;
+  for (int64_t s = 0; s < n_sites; ++s) {
+    uint8_t m = seen[s];
+    int pc = __builtin_popcount(m);
+    if (pc > 2) {
+      if (n_ex >= max_ex) { delete[] seen; delete[] anymiss; return -1; }
+      ex_idx[n_ex++] = (int32_t)s;
+      cls[s] = 5;
+      refalt[s] = 0;
+      continue;
+    }
+    if (m == 0) { cls[s] = 0; refalt[s] = 0; continue; }
+    int ref = __builtin_ctz(m);
+    int a = 31 - __builtin_clz((unsigned)m);
+    refalt[s] = (uint8_t)(ref | (a << 2));
+    if (pc == 1) {
+      if (anymiss[s]) { cls[s] = 2; ++nB; }
+      else            { cls[s] = 1; ++nA; }
+    } else {
+      if (anymiss[s]) { cls[s] = 4; ++nD; }
+      else            { cls[s] = 3; ++nC; }
+    }
+  }
+  counts[0] = nA; counts[1] = nB; counts[2] = nC; counts[3] = nD;
+  counts[4] = nA + nC;
+  delete[] seen;
+  delete[] anymiss;
+  return n_ex;
+}
+
+// emit_class_planes: write the compacted per-class bit planes.  Plane
+// buffers are caller-allocated (row-major [n_rows, sp*8]) and fully
+// overwritten (pad bits = 0).  calledB gets class-2 called bits, altC
+// class-3 alt bits, calledD/altD class-4 bits; compaction preserves site
+// order, so a contiguous window span maps to a contiguous range per class.
+//
+// The per-class site index lists are built once (the only data-dependent
+// branches), then every row packs branchlessly via 8-wide gathers — a
+// per-site switch in the row loop costs ~6x more in branch mispredicts.
+void emit_class_planes(
+    const int8_t* alleles, int64_t n_rows, int64_t row_stride,
+    int64_t n_sites, const uint8_t* cls, const uint8_t* refalt,
+    uint8_t* calledB, int64_t spB8,
+    uint8_t* altC, int64_t spC8,
+    uint8_t* calledD, uint8_t* altD, int64_t spD8) {
+  int64_t nB = 0, nC = 0, nD = 0;
+  for (int64_t s = 0; s < n_sites; ++s) {
+    nB += (cls[s] == 2);
+    nC += (cls[s] == 3);
+    nD += (cls[s] == 4);
+  }
+  int32_t* idxB = new int32_t[(size_t)(nB + 8)];
+  int32_t* idxC = new int32_t[(size_t)(nC + 8)];
+  int32_t* idxD = new int32_t[(size_t)(nD + 8)];
+  int8_t* altcC = new int8_t[(size_t)(nC + 8)];
+  int8_t* altcD = new int8_t[(size_t)(nD + 8)];
+  int64_t iB = 0, iC = 0, iD = 0;
+  for (int64_t s = 0; s < n_sites; ++s) {
+    uint8_t k = cls[s];
+    if (k == 2) idxB[iB++] = (int32_t)s;
+    else if (k == 3) { altcC[iC] = (int8_t)(refalt[s] >> 2); idxC[iC++] = (int32_t)s; }
+    else if (k == 4) { altcD[iD] = (int8_t)(refalt[s] >> 2); idxD[iD++] = (int32_t)s; }
+  }
+  // pad tails so the 8-wide inner loops never read past a list (site 0 with
+  // an impossible alt code yields a 0 bit in every plane variant below only
+  // for the *alt* planes; called bits are masked by the byte cut instead)
+  for (int k = 0; k < 8; ++k) {
+    idxB[nB + k] = 0; idxC[nC + k] = 0; idxD[nD + k] = 0;
+    altcC[nC + k] = -2; altcD[nD + k] = -2;
+  }
+  memset(calledB, 0, (size_t)(n_rows * spB8));
+  memset(altC, 0, (size_t)(n_rows * spC8));
+  memset(calledD, 0, (size_t)(n_rows * spD8));
+  memset(altD, 0, (size_t)(n_rows * spD8));
+  int64_t bB = (nB + 7) / 8, bC = (nC + 7) / 8, bD = (nD + 7) / 8;
+  uint8_t lastmB = (uint8_t)(0xFFu >> ((8 - (nB & 7)) & 7));
+  uint8_t lastmC = (uint8_t)(0xFFu >> ((8 - (nC & 7)) & 7));
+  uint8_t lastmD = (uint8_t)(0xFFu >> ((8 - (nD & 7)) & 7));
+  if ((nB & 7) == 0) lastmB = 0xFF;
+  if ((nC & 7) == 0) lastmC = 0xFF;
+  if ((nD & 7) == 0) lastmD = 0xFF;
+  for (int64_t h = 0; h < n_rows; ++h) {
+    const int8_t* row = alleles + h * row_stride;
+    uint8_t* rB = calledB + h * spB8;
+    for (int64_t b = 0; b < bB; ++b) {
+      const int32_t* p = idxB + 8 * b;
+      uint8_t v = 0;
+      for (int k = 0; k < 8; ++k)
+        v |= (uint8_t)((row[p[k]] >= 0) << k);
+      rB[b] = v;
+    }
+    if (bB) rB[bB - 1] &= lastmB;
+    uint8_t* rC = altC + h * spC8;
+    for (int64_t b = 0; b < bC; ++b) {
+      const int32_t* p = idxC + 8 * b;
+      const int8_t* ac = altcC + 8 * b;
+      uint8_t v = 0;
+      for (int k = 0; k < 8; ++k)
+        v |= (uint8_t)((row[p[k]] == ac[k]) << k);
+      rC[b] = v;
+    }
+    uint8_t* rDc = calledD + h * spD8;
+    uint8_t* rDa = altD + h * spD8;
+    for (int64_t b = 0; b < bD; ++b) {
+      const int32_t* p = idxD + 8 * b;
+      const int8_t* ac = altcD + 8 * b;
+      uint8_t vc = 0, va = 0;
+      for (int k = 0; k < 8; ++k) {
+        int8_t c = row[p[k]];
+        uint8_t ok = (uint8_t)(c >= 0);
+        vc |= (uint8_t)(ok << k);
+        va |= (uint8_t)((ok & (c == ac[k])) << k);
+      }
+      rDc[b] = vc;
+      rDa[b] = va;
+    }
+    if (bD) { rDc[bD - 1] &= lastmD; rDa[bD - 1] &= lastmD; }
+  }
+  delete[] idxB; delete[] idxC; delete[] idxD;
+  delete[] altcC; delete[] altcD;
+}
+
+// merge_geno_blocks: k-way positional merge of converted .geno row blocks
+// (one scaffold; the parseVCFs multi-file union/intersect merge,
+// /root/reference/VCF_processing/parseVCFs.py:60-87 — but over rows the C
+// VCF converter already produced, not raw VCF lines).
+//
+// Each input block holds rows "SCAF<sep>POS<sep>COLS\n" with strictly
+// increasing POS (the converter's sorted-drop mode guarantees it).  For
+// every position <= limit_pos present in >= 1 (union) or == n_files
+// (intersect) blocks, emits "SCAF<sep>POS<sep>" + per-file COLS (or that
+// file's missing fill) joined by sep.  Rows with POS > max_pos are
+// consumed but not emitted (the reference walk never visits positions
+// past the declared scaffold length).
+//
+// bufs/lens   : per-file row data (only rows with POS <= limit_pos are
+//               consumed; consumed[] reports bytes eaten per file)
+// miss/miss_len: per-file missing-fill column text
+// Returns bytes written to out, or -1 when out is full (caller grows out
+// and retries with the same inputs; consumed[] is only valid on success).
+int64_t merge_geno_blocks(
+    int32_t n_files, const uint8_t** bufs, const int64_t* lens,
+    uint8_t sep, int64_t limit_pos, int64_t max_pos, int32_t intersect,
+    const uint8_t** miss, const int64_t* miss_len,
+    uint8_t* out, int64_t out_cap, int64_t* consumed) {
+  enum { MAXK = 64 };
+  if (n_files > MAXK) return -2;
+  int64_t pos_[MAXK];         // current head position (INT64_MAX = done)
+  int64_t head_[MAXK];        // byte offset of current row
+  int64_t cols_[MAXK];        // offset of COLS within current row
+  int64_t end_[MAXK];         // offset one past current row's '\n'
+  int64_t ptext_off[MAXK], ptext_len[MAXK];
+
+  auto parse_head = [&](int x) {
+    const uint8_t* b = bufs[x];
+    int64_t i = head_[x];
+    if (i >= lens[x]) { pos_[x] = INT64_MAX; return; }
+    // SCAF field
+    while (i < lens[x] && b[i] != sep) ++i;
+    ++i;
+    int64_t p0 = i;
+    int64_t p = 0;
+    while (i < lens[x] && b[i] >= '0' && b[i] <= '9') {
+      p = p * 10 + (b[i] - '0');
+      ++i;
+    }
+    ptext_off[x] = p0; ptext_len[x] = i - p0;
+    ++i;                                    // the sep after POS
+    cols_[x] = i;
+    while (i < lens[x] && b[i] != '\n') ++i;
+    end_[x] = i + 1;
+    pos_[x] = p;
+  };
+  for (int x = 0; x < n_files; ++x) { head_[x] = 0; parse_head(x); }
+
+  int64_t off = 0;
+  for (;;) {
+    int64_t p = INT64_MAX;
+    for (int x = 0; x < n_files; ++x)
+      if (pos_[x] < p) p = pos_[x];
+    if (p == INT64_MAX || p > limit_pos) break;
+    int present = 0, firstx = -1;
+    for (int x = 0; x < n_files; ++x)
+      if (pos_[x] == p) { ++present; if (firstx < 0) firstx = x; }
+    bool emit = (p <= max_pos) &&
+                (intersect ? (present == n_files) : (present >= 1));
+    if (emit) {
+      // worst-case row size check
+      const uint8_t* fb = bufs[firstx];
+      int64_t scaf_len = 0;
+      while (fb[head_[firstx] + scaf_len] != sep) ++scaf_len;
+      int64_t need = scaf_len + 1 + ptext_len[firstx] + 1 + 1;
+      for (int x = 0; x < n_files; ++x)
+        need += 1 + ((pos_[x] == p) ? (end_[x] - 1 - cols_[x]) : miss_len[x]);
+      if (off + need > out_cap) return -1;
+      memcpy(out + off, fb + head_[firstx], (size_t)scaf_len);
+      off += scaf_len;
+      out[off++] = sep;
+      memcpy(out + off, fb + ptext_off[firstx], (size_t)ptext_len[firstx]);
+      off += ptext_len[firstx];
+      for (int x = 0; x < n_files; ++x) {
+        out[off++] = sep;
+        if (pos_[x] == p) {
+          int64_t n = end_[x] - 1 - cols_[x];
+          memcpy(out + off, bufs[x] + cols_[x], (size_t)n);
+          off += n;
+        } else {
+          memcpy(out + off, miss[x], (size_t)miss_len[x]);
+          off += miss_len[x];
+        }
+      }
+      out[off++] = '\n';
+    }
+    for (int x = 0; x < n_files; ++x)
+      if (pos_[x] == p) { head_[x] = end_[x]; parse_head(x); }
+  }
+  for (int x = 0; x < n_files; ++x) consumed[x] = head_[x];
+  return off;
+}
+
+// class_prefix_sums: exclusive prefix sums of the class indicator vectors,
+// used by the host to map window spans to compacted class ranges.  cum is
+// int64 [4, n_sites + 1]: rows = class B (2), C (3), D (4), and AC
+// (classes 1 or 3, the constant-shared count).
+void class_prefix_sums(const uint8_t* cls, int64_t n_sites, int64_t* cum) {
+  int64_t* cB = cum;
+  int64_t* cC = cum + (n_sites + 1);
+  int64_t* cD = cum + 2 * (n_sites + 1);
+  int64_t* cAC = cum + 3 * (n_sites + 1);
+  int64_t b = 0, c = 0, d = 0, ac = 0;
+  cB[0] = cC[0] = cD[0] = cAC[0] = 0;
+  for (int64_t s = 0; s < n_sites; ++s) {
+    uint8_t k = cls[s];
+    b += (k == 2); c += (k == 3); d += (k == 4);
+    ac += (k == 1) | (k == 3);
+    cB[s + 1] = b; cC[s + 1] = c; cD[s + 1] = d; cAC[s + 1] = ac;
+  }
+}
+
 }  // extern "C"

@@ -140,6 +140,246 @@ def _fast_single(args, head_data, samples_per_file, ploidy_dict, gt_filters,
     return True
 
 
+def _fast_multi(args, head_data, samples_per_file, ploidy_dict, gt_filters,
+                include, exclude, scafs, scaf_lens, all_missing) -> bool:
+    """Multi-file fast path: each input VCF converts through the C line
+    converter on its own thread (with a per-file ``-t`` chunk pool), and
+    the *converted* row runs k-way merge positionally in C — replacing the
+    reference's per-line Python merge walk
+    (/root/reference/VCF_processing/parseVCFs.py:60-87) while keeping its
+    union/intersect semantics exactly.  An incremental per-scaffold
+    frontier (the smallest last-complete position among files still
+    producing that scaffold) keeps memory O(buffered runs), not
+    O(scaffold).  Returns False to fall back to the serial Python walk."""
+    import os
+    import queue as _q
+    import threading
+
+    from ..io import native, vcf_fast
+
+    if args.method == "all" or args.test:
+        return False
+    if os.environ.get("GGT_HOST_VCF") == "0":
+        return False
+    reason = vcf_fast.ineligible_reason(args, gt_filters, 0)
+    if reason is not None:
+        vcf_fast.notice_fallback("parseVCFs", reason)
+        return False
+    n = len(args.inFile)
+    if n > 64:
+        vcf_fast.notice_fallback("parseVCFs", f"{n} input files > 64")
+        return False
+    for head in head_data:
+        if head["nSamples"] > 1024:
+            vcf_fast.notice_fallback(
+                "parseVCFs", f"{head['nSamples']} samples > 1024")
+            return False
+    if native.get_lib() is None or \
+            not hasattr(native.get_lib(), "merge_geno_blocks"):
+        return False
+
+    INTERSECT = args.method == "intersect"
+    sep = args.outSep.encode()
+    miss_fill = [args.outSep.join(all_missing[x]).encode() for x in range(n)]
+    contig_idx = {s: i for i, s in enumerate(scafs)}
+
+    opts = []
+    for x in range(n):
+        o = vcf_fast.make_opts(args, gt_filters, head_data[x]["sampleNames"],
+                               samples_per_file[x], ploidy_dict)
+        o.sorted_drop = True
+        o.drop_dups = False
+        opts.append(o)
+
+    def make_slow_line(x):
+        headers = head_data[x]["mainHeaders"]
+        samples = samples_per_file[x]
+
+        def slow_line(line, prev_name, prev_pos, prev_ptext=None):
+            elements = line.decode().split()
+            chrom, pos = elements[0], int(elements[1])
+            name_b = chrom.encode()
+            if prev_name == name_b and pos <= prev_pos:
+                return None, prev_name, prev_pos, None   # stale/duplicate
+            site = V.VcfSite(elements=elements, headers=headers)
+            if args.minQual and V.can_float(site.QUAL) and \
+                    float(site.QUAL) < args.minQual:
+                return None, name_b, pos, None
+            if args.maxREFlen and len(site.REF) > args.maxREFlen:
+                return None, name_b, pos, None
+            output = site.getGenotypes(
+                gt_filters, asList=True, withPhase=True, samples=samples,
+                missing=args.missing, mustMatchREFlen=args.skipIndels,
+                keepPartial=args.keepPartial, ploidyDict=ploidy_dict,
+                ploidyMismatchToMissing=args.ploidyMismatchToMissing)
+            row = (args.outSep.join([chrom, str(site.POS)] + output)
+                   + "\n").encode()
+            return row, name_b, pos, None
+        return slow_line
+
+    DONE = object()
+    qs = [_q.Queue(maxsize=4) for _ in range(n)]
+    # ONE shared converter pool across files: -t bounds the TOTAL C worker
+    # count (per-file pools would oversubscribe the host n-fold and make
+    # -t meaningless as a resource knob)
+    from concurrent.futures import ThreadPoolExecutor
+    shared_pool = ThreadPoolExecutor(max_workers=max(1, args.threads))
+
+    def run_file(x):
+        cur = {"i": -1}
+
+        def emit_run(name, data):
+            nm = name.decode()
+            i = contig_idx.get(nm)
+            if i is None or i < cur["i"]:
+                return               # unknown or re-appearing scaffold
+            cur["i"] = i
+            if (exclude and nm in exclude) or (include and nm not in include):
+                return
+            qs[x].put((i, bytes(data)))
+        try:
+            vcf_fast.convert_stream(
+                vcf_fast.text_chunks(args.inFile[x]), opts[x],
+                make_slow_line(x), emit_run,
+                threads=max(1, -(-args.threads // n)), pool=shared_pool)
+            qs[x].put(DONE)
+        except BaseException as e:  # noqa: BLE001 - re-raised by the merge
+            qs[x].put(e)
+
+    workers = [threading.Thread(target=run_file, args=(x,), daemon=True)
+               for x in range(n)]
+
+    if args.outFile:
+        import gzip as _gzip
+        out_bin = _gzip.open(args.outFile, "wb") \
+            if args.outFile.endswith(".gz") else open(args.outFile, "wb")
+    else:
+        out_bin = sys.stdout.buffer
+    out_bin.write((args.outSep.join(
+        ["#CHROM", "POS"] + [s for ss in samples_per_file for s in ss])
+        + "\n").encode())
+
+    for w in workers:
+        w.start()
+
+    # ---- per-file scaffold-grouped stream views
+    def scaffold_stream(x):
+        """Yield (scaf_i, data, final) with final=True marking the last
+        piece of that scaffold (data may be empty)."""
+        cur_i = None
+        while True:
+            item = qs[x].get()
+            if isinstance(item, BaseException):
+                raise item
+            if item is DONE:
+                if cur_i is not None:
+                    yield (cur_i, b"", True)
+                return
+            i, data = item
+            if cur_i is not None and i != cur_i:
+                yield (cur_i, b"", True)
+            cur_i = i
+            yield (i, data, False)
+
+    its = [scaffold_stream(x) for x in range(n)]
+    # parts: list of byte chunks (joined once per merge call — repeated
+    # bytes += would re-copy the whole buffer per 16 MB run)
+    view = [{"i": None, "parts": [], "fin": False} for _ in range(n)]
+    stash: list = [None] * n
+    alive = [True] * n
+
+    def pump(x):
+        if stash[x] is not None:
+            i, data, final = stash[x]
+            stash[x] = None
+        else:
+            try:
+                i, data, final = next(its[x])
+            except StopIteration:
+                alive[x] = False
+                view[x]["fin"] = True
+                return
+        v = view[x]
+        if v["i"] is None:
+            v["i"] = i
+            v["fin"] = False
+        if i != v["i"]:
+            stash[x] = (i, data, final)      # belongs to the next scaffold
+            v["fin"] = True
+            return
+        if data:
+            v["parts"].append(data)
+        if final:
+            v["fin"] = True
+
+    def joined(x) -> bytes:
+        p = view[x]["parts"]
+        if len(p) != 1:
+            view[x]["parts"] = p = [b"".join(p)]
+        return p[0]
+
+    def last_row_pos(x) -> int:
+        last = view[x]["parts"][-1].rstrip(b"\n").rsplit(b"\n", 1)[-1]
+        return int(last.split(sep, 2)[1])
+
+    INT64_MAX = (1 << 63) - 1
+    while True:
+        for x in range(n):
+            while alive[x] and view[x]["i"] is None:
+                pump(x)
+        current = [x for x in range(n) if view[x]["i"] is not None]
+        if not current:
+            break
+        S = min(view[x]["i"] for x in current)
+        length = scaf_lens.get(scafs[S]) if scaf_lens else None
+        max_pos = INT64_MAX if length is None else int(length)
+        while True:
+            act = [x for x in range(n) if view[x]["i"] == S]
+            for x in act:
+                while alive[x] and view[x]["i"] == S and \
+                        not view[x]["fin"] and not view[x]["parts"]:
+                    pump(x)
+            act = [x for x in range(n) if view[x]["i"] == S]
+            open_files = [x for x in act if not view[x]["fin"]]
+            if open_files:
+                with_data = [x for x in open_files if view[x]["parts"]]
+                limit = min(last_row_pos(x) for x in with_data) \
+                    if len(with_data) == len(open_files) else 0
+            else:
+                limit = INT64_MAX
+            if limit > 0:
+                blocks = [joined(x) if view[x]["i"] == S else b""
+                          for x in range(n)]
+                res = native.merge_geno_blocks_native(
+                    blocks, sep[0], limit, max_pos, INTERSECT, miss_fill)
+                if res is None:
+                    return False             # should not happen post-gate
+                out_data, consumed = res
+                if out_data:
+                    out_bin.write(out_data)
+                for x in range(n):
+                    if view[x]["i"] == S and consumed[x]:
+                        rest = blocks[x][int(consumed[x]):]
+                        view[x]["parts"] = [rest] if rest else []
+            if not open_files:
+                for x in act:
+                    view[x]["i"] = None
+                    view[x]["parts"] = []
+                    view[x]["fin"] = False
+                break
+            for x in open_files:
+                if not view[x]["parts"] and alive[x] and view[x]["i"] == S \
+                        and not view[x]["fin"]:
+                    pump(x)
+
+    for w in workers:
+        w.join()
+    shared_pool.shutdown()
+    if out_bin is not sys.stdout.buffer:
+        out_bin.close()
+    return True
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="parseVCFs")
     add_args(parser)
@@ -203,6 +443,11 @@ def main(argv=None) -> int:
 
     if _fast_single(args, head_data, samples_per_file, ploidy_dict,
                     gt_filters, include, exclude, scafs, scaf_lens):
+        return 0
+    if len(args.inFile) > 1 and not args.field and \
+            _fast_multi(args, head_data, samples_per_file, ploidy_dict,
+                        gt_filters, include, exclude, scafs, scaf_lens,
+                        all_missing):
         return 0
 
     out = open_out(args.outFile)

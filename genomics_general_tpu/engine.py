@@ -504,7 +504,10 @@ def run_pipeline(batches, dispatch, finalize, skip=None, depth: int | None = Non
     propagate.
     """
     if depth is None:
-        depth = int(os.environ.get("GGT_PIPE_DEPTH", 3))
+        # 6 in-flight flushes measured best on the high-latency device link
+        # (interleaved A/B vs 3 and 10): enough slack to ride out tunnel
+        # hiccups without piling device buffers up
+        depth = int(os.environ.get("GGT_PIPE_DEPTH", 6))
     q: queue.Queue = queue.Queue(maxsize=depth)
     errors: list[BaseException] = []
 

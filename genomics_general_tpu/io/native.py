@@ -92,6 +92,40 @@ def get_lib():
     except AttributeError:
         pass
     try:
+        lib.classify_pair_sites.restype = ctypes.c_int64
+        lib.classify_pair_sites.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C")]
+        lib.emit_class_planes.restype = None
+        lib.emit_class_planes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C"),
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.class_prefix_sums.restype = None
+        lib.class_prefix_sums.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C"), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C")]
+    except AttributeError:
+        pass
+    try:
+        lib.merge_geno_blocks.restype = ctypes.c_int64
+        lib.merge_geno_blocks.argtypes = [
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_void_p),
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            ctypes.c_uint8, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p),
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C"), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C")]
+    except AttributeError:
+        pass
+    try:
         lib.freq_counts_rows.restype = ctypes.c_int64
         lib.freq_counts_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -240,6 +274,108 @@ def pack_pair_planes_native(alleles: np.ndarray, called_out: np.ndarray,
     if n_ex < 0:
         return None
     return refalt, ex_idx[:n_ex].copy()
+
+
+def classify_pair_sites_native(alleles: np.ndarray, max_ex: int = 1 << 20):
+    """C classifier for the wire-v3 pair planes (kernels/transfer
+    pack_pair_wire_v3): per-site class 0..5 (0 drop, 1 clean-mono, 2 mono
+    w/ missing, 3 biallelic clean, 4 biallelic w/ missing, 5 exception),
+    ref/alt codes, exception indices and class counts.  Returns
+    (cls uint8 [S], refalt uint8 [S], ex_idx int32 [E],
+    counts int64 [nA, nB, nC, nD, nA+nC]) or None when unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "classify_pair_sites"):
+        return None
+    H, S = alleles.shape
+    if alleles.strides[1] != 1:
+        alleles = np.ascontiguousarray(alleles)
+    cls = np.empty(S, dtype=np.uint8)
+    refalt = np.empty(S, dtype=np.uint8)
+    ex_idx = np.empty(max_ex, dtype=np.int32)
+    counts = np.zeros(5, dtype=np.int64)
+    n_ex = lib.classify_pair_sites(
+        alleles.ctypes.data_as(ctypes.c_void_p), np.int64(H),
+        np.int64(alleles.strides[0]), np.int64(S),
+        cls, refalt, ex_idx, np.int64(max_ex), counts)
+    if n_ex < 0:
+        return None
+    return cls, refalt, ex_idx[:n_ex].copy(), counts
+
+
+def emit_class_planes_native(alleles: np.ndarray, cls: np.ndarray,
+                             refalt: np.ndarray,
+                             calledB: np.ndarray, spB8: int,
+                             altC: np.ndarray, spC8: int,
+                             calledD: np.ndarray, altD: np.ndarray,
+                             spD8: int) -> bool:
+    """C emitter for the wire-v3 compacted class planes (buffers are uint8
+    [H, sp8] views into the caller's wire buffer, fully overwritten)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "emit_class_planes"):
+        return False
+    H, S = alleles.shape
+    if alleles.strides[1] != 1:
+        alleles = np.ascontiguousarray(alleles)
+    lib.emit_class_planes(
+        alleles.ctypes.data_as(ctypes.c_void_p), np.int64(H),
+        np.int64(alleles.strides[0]), np.int64(S), cls, refalt,
+        calledB.ctypes.data_as(ctypes.c_void_p), np.int64(spB8),
+        altC.ctypes.data_as(ctypes.c_void_p), np.int64(spC8),
+        calledD.ctypes.data_as(ctypes.c_void_p),
+        altD.ctypes.data_as(ctypes.c_void_p), np.int64(spD8))
+    return True
+
+
+def merge_geno_blocks_native(blocks: list, sep: int, limit_pos: int,
+                             max_pos: int, intersect: bool,
+                             missing: list):
+    """C k-way positional merge of converted .geno row blocks (one
+    scaffold).  ``blocks``: per-file bytes of "SCAF<sep>POS<sep>COLS\\n"
+    rows with strictly increasing POS; ``missing``: per-file column fill
+    bytes.  Returns (out_bytes, consumed int64 [n]) with rows at positions
+    <= limit_pos merged under the union/intersect policy and positions >
+    max_pos dropped, or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "merge_geno_blocks"):
+        return None
+    n = len(blocks)
+    blocks = [bytes(b) for b in blocks]
+    missing = [bytes(m) for m in missing]
+    bufs = (ctypes.c_void_p * n)(
+        *[ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p) for b in blocks])
+    lens = np.array([len(b) for b in blocks], dtype=np.int64)
+    mptr = (ctypes.c_void_p * n)(
+        *[ctypes.cast(ctypes.c_char_p(m), ctypes.c_void_p) for m in missing])
+    mlen = np.array([len(m) for m in missing], dtype=np.int64)
+    consumed = np.zeros(n, dtype=np.int64)
+    # worst case: every input row emits once with every other file's
+    # missing fill appended
+    rows_bound = sum(b.count(b"\n") for b in blocks) + 1
+    cap = sum(lens) + rows_bound * (int(mlen.sum()) + n + 2) + 4096
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        w = lib.merge_geno_blocks(
+            np.int32(n), bufs, lens, ctypes.c_uint8(sep),
+            np.int64(limit_pos), np.int64(max_pos), np.int32(intersect),
+            mptr, mlen, out, np.int64(cap), consumed)
+        if w == -2:
+            return None                       # too many files for the C path
+        if w == -1:
+            cap *= 2
+            continue
+        return out[:w].tobytes(), consumed
+
+
+def class_prefix_sums_native(cls: np.ndarray):
+    """C exclusive prefix sums of the wire-v3 class indicators.  Returns
+    int64 [4, S+1] (rows: class B, C, D, and A|C) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "class_prefix_sums"):
+        return None
+    S = cls.shape[0]
+    cum = np.empty((4, S + 1), dtype=np.int64)
+    lib.class_prefix_sums(cls, np.int64(S), cum)
+    return cum
 
 
 def gzip_decompress_bytes(data: bytes) -> bytes | None:

@@ -354,14 +354,17 @@ def stdin_header_chunks(stream, chunk_bytes: int = 16 << 20):
 
 
 def convert_stream(chunks, opts: FastVcfOpts, slow_line, emit_run,
-                   threads: int = 1):
+                   threads: int = 1, pool: ThreadPoolExecutor | None = None):
     """Drive the whole stream: chunk-parallel C conversion, in-order writer.
 
     ``chunks``: iterable of decompressed text chunks (bytes / uint8 arrays,
     line-aligned).  ``emit_run(name_bytes, data_bytes)`` receives ordered
-    scaffold runs (caller applies include/exclude and writes).
+    scaffold runs (caller applies include/exclude and writes).  ``pool``:
+    optional shared executor — multi-file drivers pass one so ``-t`` bounds
+    the TOTAL converter thread count across files (the pool is not shut
+    down here); ``threads`` then only sizes this stream's in-flight window.
     """
-    if threads <= 1:
+    if threads <= 1 and pool is None:
         prev_name, prev_pos, prev_ptext = None, -1, None
         for chunk in chunks:
             segs, prev_name, prev_pos, prev_ptext = convert_chunk(
@@ -370,7 +373,10 @@ def convert_stream(chunks, opts: FastVcfOpts, slow_line, emit_run,
                 emit_run(name, bytes(data))
         return
 
-    pool = ThreadPoolExecutor(max_workers=threads)
+    own_pool = pool is None
+    if own_pool:
+        pool = ThreadPoolExecutor(max_workers=threads)
+    threads = max(1, threads)
     pending: deque = deque()
     # authoritative per-scaffold running position max for the stale-drop
     # repair.  A worker's raw-tail start state can underestimate (the
@@ -434,4 +440,5 @@ def convert_stream(chunks, opts: FastVcfOpts, slow_line, emit_run,
     while pending:
         segs, fname, fpos, _ = pending.popleft().result()
         repair_and_emit(segs, fname, fpos)
-    pool.shutdown()
+    if own_pool:
+        pool.shutdown()

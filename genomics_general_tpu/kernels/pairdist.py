@@ -307,9 +307,18 @@ def _fused_flush_pair_v2(buf: jnp.ndarray, pop_mask: jnp.ndarray,
     s = s.reshape(wp, h, h)
     if ep:
         m, s = _exception_patch(m, s, ex_w, ex_codes, wp)
+    return _modes_tail(m, s, mode, pop_mask, min_sites, het_rows, wp, h,
+                       s_max < (1 << 16))
 
+
+def _modes_tail(m, s, mode: str, pop_mask, min_sites, het_rows, wp: int,
+                h: int, u16: bool):
+    """Shared output stage of the fused flush kernels (wire v2 and v3)."""
     if mode == "tri":
-        return _tri_pack(m, s, s_max)
+        H = m.shape[1]
+        iu, ju = np.triu_indices(H)            # trace-time constants
+        out = jnp.concatenate([m[:, iu, ju], s[:, iu, ju]], axis=1)
+        return out.astype(jnp.uint16) if u16 else out
 
     # blocks: float64 nanmean numerators/denominators per pop-pair block
     ms = jnp.maximum(min_sites.astype(jnp.int32), 1)
@@ -335,6 +344,105 @@ def _fused_flush_pair_v2(buf: jnp.ndarray, pop_mask: jnp.ndarray,
             [blocks.reshape(wp, 2 * P * P),
              het.astype(jnp.float64).reshape(wp, -1)], axis=1)
     return blocks
+
+
+@functools.partial(jax.jit, static_argnames=("s_max",))
+def _gather_bits(plane: jnp.ndarray, first: jnp.ndarray,
+                 n_sites: jnp.ndarray, s_max: int) -> jnp.ndarray:
+    """Gather B spans of a 0/1 int8 class plane into bf16 [B, H, s_max]
+    factors (padded slots zeroed)."""
+    offs = jnp.arange(s_max, dtype=jnp.int32)
+    idx = first[:, None] + offs[None, :]
+    valid = offs[None, :] < n_sites[:, None]
+    idx = jnp.where(valid, idx, 0)
+    w = plane[:, idx].transpose(1, 0, 2)              # [B, H, s_max]
+    return (w * valid[:, None, :]).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "spb", "spc", "spd", "h", "wp", "sb", "sc", "sd", "chunk", "ep", "mode",
+    "u16"))
+def _fused_flush_pair_v3(buf: jnp.ndarray, pop_mask: jnp.ndarray,
+                         min_sites: jnp.ndarray, spb: int, spc: int,
+                         spd: int, h: int, wp: int, sb: int, sc: int,
+                         sd: int, chunk: int, ep: int, mode: str, u16: bool,
+                         het_rows: jnp.ndarray | None = None):
+    """Wire-v3 single-transfer flush kernel (class-partitioned planes).
+
+    Same modes and outputs as :func:`_fused_flush_pair_v2`; the wire is
+    :func:`~genomics_general_tpu.kernels.transfer.pack_pair_wire_v3`.  The
+    per-window mismatch/shared integers are built from the class pieces:
+
+        shared   = nconst + cB.cB^T + cD.cD^T
+        mismatch = (rC_i + rC_j - 2 aC.aC^T) + (aD.cD^T + (aD.cD^T)^T
+                   - 2 aD.aD^T)
+
+    where nconst counts clean-mono + clean-biallelic sites (every pair
+    shares them), cB is the called plane of mono-with-missing sites, aC the
+    alt plane of clean biallelic sites (all-called, so mismatch reduces to
+    the rank-1-corrected Gram form), and cD/aD the two planes of
+    biallelic-with-missing sites.  All Gram matrices accumulate 0/1 bf16
+    factors in f32 — exact integers."""
+    from . import transfer
+    (cB, aC, cD, aD, fB, nB, fC, nC, fD, nD, nconst, ex_w,
+     ex_codes) = transfer.unpack_pair_wire_v3(buf, spb, spc, spd, h, wp, ep)
+
+    def one(args):
+        fb, nb, fc, nc, fd, nd, ncst = args
+        b = _gather_bits(cB, fb, nb, sb)
+        GB = jnp.einsum("bhs,bgs->bhg", b, b,
+                        preferred_element_type=jnp.float32)
+        a = _gather_bits(aC, fc, nc, sc)
+        G2C = jnp.einsum("bhs,bgs->bhg", a, a,
+                         preferred_element_type=jnp.float32)
+        rC = jnp.sum(a, axis=2, dtype=jnp.float32)        # [B, H]
+        dc = _gather_bits(cD, fd, nd, sd)
+        da = _gather_bits(aD, fd, nd, sd)
+        G1D = jnp.einsum("bhs,bgs->bhg", dc, dc,
+                         preferred_element_type=jnp.float32)
+        G2D = jnp.einsum("bhs,bgs->bhg", da, da,
+                         preferred_element_type=jnp.float32)
+        G3D = jnp.einsum("bhs,bgs->bhg", da, dc,
+                         preferred_element_type=jnp.float32)
+        m = (rC[:, :, None] + rC[:, None, :] - 2.0 * G2C) \
+            + (G3D + G3D.transpose(0, 2, 1) - 2.0 * G2D)
+        s = ncst[:, None, None].astype(jnp.float32) + GB + G1D
+        return m.astype(jnp.int32), s.astype(jnp.int32)
+
+    n_ch = wp // chunk
+    m, s = jax.lax.map(one, (fB.reshape(n_ch, chunk), nB.reshape(n_ch, chunk),
+                             fC.reshape(n_ch, chunk), nC.reshape(n_ch, chunk),
+                             fD.reshape(n_ch, chunk), nD.reshape(n_ch, chunk),
+                             nconst.reshape(n_ch, chunk)))
+    m = m.reshape(wp, h, h)
+    s = s.reshape(wp, h, h)
+    if ep:
+        m, s = _exception_patch(m, s, ex_w, ex_codes, wp)
+    return _modes_tail(m, s, mode, pop_mask, min_sites, het_rows, wp, h, u16)
+
+
+def _v3_flush_args(alleles: np.ndarray, first: np.ndarray,
+                   n_sites: np.ndarray):
+    """Host-side prep for the wire-v3 fused kernels: classify + pack the
+    flush buffer and choose the static shape parameters.  Returns None when
+    v3 is disabled (GGT_WIRE=2) — callers fall back to wire v2."""
+    import os
+    if os.environ.get("GGT_WIRE") == "2":
+        return None
+    W = first.shape[0]
+    H = alleles.shape[0]
+    wp = _next_pow2(W, 8)
+    buf, SpB, SpC, SpD, ep, (nbm, ncm, ndm) = transfer.pack_pair_wire_v3(
+        alleles, first, n_sites, wp)
+    sb = min(_next_pow2(max(nbm, 1), 128), SpB)
+    sc = min(_next_pow2(max(ncm, 1), 128), SpC)
+    sd = min(_next_pow2(max(ndm, 1), 128), SpD)
+    s_need = max(int(n_sites.max()), 1)
+    chunk = min(wp, 128)
+    while chunk > 8 and chunk * H * max(sb, sc, sd) > (1 << 26):
+        chunk //= 2
+    u16 = s_need < (1 << 16)
+    return buf, SpB, SpC, SpD, H, wp, sb, sc, sd, chunk, ep, u16
 
 
 @functools.partial(jax.jit,
@@ -385,6 +493,25 @@ def _v2_flush_args(alleles: np.ndarray, first: np.ndarray,
 _NO_POPS = np.zeros((1, 1), dtype=np.float64)
 
 
+@functools.lru_cache(maxsize=64)
+def _dev_const(key: bytes, shape: tuple, dtype: str):
+    """Per-run device constants (pop/ind masks, min_sites, het_rows): upload
+    once instead of per flush — each re-upload costs a tunnel round trip."""
+    arr = np.frombuffer(key, dtype=np.dtype(dtype)).reshape(shape)
+    return jax.device_put(arr)
+
+
+def _dev_mask_f64(mask: np.ndarray):
+    m = np.ascontiguousarray(mask, dtype=np.float64)
+    with jax.enable_x64():
+        return _dev_const(m.tobytes(), m.shape, "float64")
+
+
+def _dev_i32(value) -> jnp.ndarray:
+    v = np.ascontiguousarray(value, dtype=np.int32)
+    return _dev_const(v.tobytes(), v.shape, "int32")
+
+
 def _start_fetch(arr):
     """Kick off the device->host copy as soon as the producing computation
     finishes, so the transfer overlaps the pipeline instead of starting at
@@ -399,16 +526,26 @@ def _dispatch_fused(alleles: np.ndarray, first: np.ndarray,
                     n_sites: np.ndarray) -> "PairCountsHandle":
     """Host-span fast path: exactly one H2D transfer and one D2H transfer per
     flush batch (the link's per-transfer fixed cost is ~13-25 ms).  Ships the
-    2-bit/site/haplotype biallelic wire format (transfer.pack_pair_wire)."""
+    class-partitioned wire v3 (transfer.pack_pair_wire_v3; ~2-10x fewer
+    bytes than v2 depending on monomorphic fraction); GGT_WIRE=2 falls back
+    to the 2-bit v2 format."""
     W = first.shape[0]
     H = alleles.shape[0]
     handle = PairCountsHandle(W, H, [])
     if W == 0:
         return handle
-    buf, Sp, H, wp, s_max, chunk, ep = _v2_flush_args(alleles, first, n_sites)
-    out = _fused_flush_pair_v2(jax.device_put(buf), _NO_POPS,
-                               jnp.int32(0), Sp, H, wp, s_max, chunk, ep,
-                               "tri")
+    v3 = _v3_flush_args(alleles, first, n_sites)
+    if v3 is not None:
+        buf, SpB, SpC, SpD, H, wp, sb, sc, sd, chunk, ep, u16 = v3
+        out = _fused_flush_pair_v3(jax.device_put(buf), _dev_mask_f64(_NO_POPS),
+                                   _dev_i32(0), SpB, SpC, SpD, H, wp,
+                                   sb, sc, sd, chunk, ep, "tri", u16)
+    else:
+        buf, Sp, H, wp, s_max, chunk, ep = _v2_flush_args(
+            alleles, first, n_sites)
+        out = _fused_flush_pair_v2(jax.device_put(buf), _dev_mask_f64(_NO_POPS),
+                                   _dev_i32(0), Sp, H, wp, s_max, chunk, ep,
+                                   "tri")
     _start_fetch(out)
     handle.pending.append((np.arange(W), W, out))
     return handle
@@ -455,11 +592,22 @@ def window_pair_block_stats_dispatch(alleles: np.ndarray, first: np.ndarray,
     handle = PairBlockStatsHandle(W, P, [])
     if W == 0:
         return handle
-    buf, Sp, H, wp, s_max, chunk, ep = _v2_flush_args(alleles, first, n_sites)
-    with jax.enable_x64():
-        out = _fused_flush_pair_v2(
-            jax.device_put(buf), jnp.asarray(pop_mask.astype(np.float64)),
-            jnp.int32(min_sites or 0), Sp, H, wp, s_max, chunk, ep, "blocks")
+    v3 = _v3_flush_args(alleles, first, n_sites)
+    if v3 is not None:
+        buf, SpB, SpC, SpD, H, wp, sb, sc, sd, chunk, ep, u16 = v3
+        with jax.enable_x64():
+            out = _fused_flush_pair_v3(
+                jax.device_put(buf), _dev_mask_f64(pop_mask),
+                _dev_i32(min_sites or 0), SpB, SpC, SpD, H, wp,
+                sb, sc, sd, chunk, ep, "blocks", u16)
+    else:
+        buf, Sp, H, wp, s_max, chunk, ep = _v2_flush_args(
+            alleles, first, n_sites)
+        with jax.enable_x64():
+            out = _fused_flush_pair_v2(
+                jax.device_put(buf), _dev_mask_f64(pop_mask),
+                _dev_i32(min_sites or 0), Sp, H, wp, s_max, chunk, ep,
+                "blocks")
     _start_fetch(out)
     handle.pending.append((np.arange(W), W, out))
     return handle
@@ -508,12 +656,23 @@ def window_pair_ind_blocks_dispatch(alleles: np.ndarray, first: np.ndarray,
     handle = PairBlocksHetHandle(W, ind_mask.shape[0], [])
     if W == 0:
         return handle
-    buf, Sp, H, wp, s_max, chunk, ep = _v2_flush_args(alleles, first, n_sites)
-    with jax.enable_x64():
-        out = _fused_flush_pair_v2(
-            jax.device_put(buf), jnp.asarray(ind_mask.astype(np.float64)),
-            jnp.int32(min_sites or 0), Sp, H, wp, s_max, chunk, ep,
-            "blocks_het", het_rows=jnp.asarray(het_rows, dtype=jnp.int32))
+    v3 = _v3_flush_args(alleles, first, n_sites)
+    if v3 is not None:
+        buf, SpB, SpC, SpD, H, wp, sb, sc, sd, chunk, ep, u16 = v3
+        with jax.enable_x64():
+            out = _fused_flush_pair_v3(
+                jax.device_put(buf), _dev_mask_f64(ind_mask),
+                _dev_i32(min_sites or 0), SpB, SpC, SpD, H, wp,
+                sb, sc, sd, chunk, ep, "blocks_het", u16,
+                het_rows=_dev_i32(het_rows))
+    else:
+        buf, Sp, H, wp, s_max, chunk, ep = _v2_flush_args(
+            alleles, first, n_sites)
+        with jax.enable_x64():
+            out = _fused_flush_pair_v2(
+                jax.device_put(buf), _dev_mask_f64(ind_mask),
+                _dev_i32(min_sites or 0), Sp, H, wp, s_max, chunk, ep,
+                "blocks_het", het_rows=_dev_i32(het_rows))
     _start_fetch(out)
     handle.pending.append(out)
     return handle

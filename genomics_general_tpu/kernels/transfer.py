@@ -241,8 +241,21 @@ def pack_pair_wire(alleles: np.ndarray, first: np.ndarray,
     meta[:W] = first
     meta[wp:wp + W] = n_sites
 
-    # map exception sites to the windows containing them (possibly several
-    # for overlapping windows); entries get the window's *batch* index
+    ep, ex_buf = _exception_buf(alleles, ex_idx, first, n_sites, wp, ep_min)
+    buf = np.concatenate([planes, meta.view(np.uint8), ex_buf])
+    return buf, Sp, ep
+
+
+def _exception_buf(alleles: np.ndarray, ex_idx: np.ndarray,
+                   first: np.ndarray, n_sites: np.ndarray, wp: int,
+                   ep_min: int) -> tuple[int, np.ndarray]:
+    """Build the exception-patch wire section: map exception sites to the
+    windows containing them (possibly several for overlapping windows;
+    entries get the window's *batch* index) and pack
+    ``[ex_w int32[ep] | ex_codes int8[ep, H]]``.  Returns (ep, buffer);
+    ep == 0 -> empty buffer."""
+    H = alleles.shape[0]
+    W = first.shape[0]
     pairs_w: np.ndarray
     pairs_s: np.ndarray
     if ex_idx.size and W:
@@ -268,20 +281,16 @@ def pack_pair_wire(alleles: np.ndarray, first: np.ndarray,
 
     E = pairs_w.size
     if E == 0:
-        ep = 0
-        ex_buf = np.empty(0, dtype=np.uint8)
-    else:
-        ep = ep_min
-        while ep < E:
-            ep <<= 1
-        ex_w = np.full(ep, wp, dtype=np.int32)      # pad -> out of range
-        ex_w[:E] = pairs_w
-        ex_codes = np.full((ep, H), -1, dtype=np.int8)
-        ex_codes[:E] = alleles[:, pairs_s].T
-        ex_buf = np.concatenate([ex_w.view(np.uint8),
-                                 ex_codes.reshape(-1).view(np.uint8)])
-    buf = np.concatenate([planes, meta.view(np.uint8), ex_buf])
-    return buf, Sp, ep
+        return 0, np.empty(0, dtype=np.uint8)
+    ep = ep_min
+    while ep < E:
+        ep <<= 1
+    ex_w = np.full(ep, wp, dtype=np.int32)      # pad -> out of range
+    ex_w[:E] = pairs_w
+    ex_codes = np.full((ep, H), -1, dtype=np.int8)
+    ex_codes[:E] = alleles[:, pairs_s].T
+    return ep, np.concatenate([ex_w.view(np.uint8),
+                               ex_codes.reshape(-1).view(np.uint8)])
 
 
 @functools.partial(jax.jit, static_argnames=("sp", "h", "wp", "ep"))
@@ -312,6 +321,162 @@ def unpack_pair_wire(buf: jnp.ndarray, sp: int, h: int, wp: int, ep: int):
         ex_w = jnp.zeros((0,), jnp.int32)
         ex_codes = jnp.zeros((0, h), jnp.int8)
     return code2, first, n_sites, ex_w, ex_codes
+
+
+def _classify_pair_sites_numpy(alleles: np.ndarray):
+    """Numpy fallback for the C ``classify_pair_sites`` (same contract)."""
+    H, S = alleles.shape
+    seen = np.zeros(S, dtype=np.uint8)
+    for c in range(4):
+        seen |= (alleles == c).any(axis=0).astype(np.uint8) << c
+    pc = _POPCOUNT[seen]
+    anymiss = (alleles < 0).any(axis=0)
+    cls = np.where(pc > 2, 5,
+                   np.where(pc == 0, 0,
+                            np.where(pc == 1, np.where(anymiss, 2, 1),
+                                     np.where(anymiss, 4, 3)))).astype(np.uint8)
+    refalt = (_LOWBIT[seen] | (_HIGHBIT[seen] << 2)).astype(np.uint8)
+    refalt[pc > 2] = 0
+    ex_idx = np.flatnonzero(pc > 2).astype(np.int32)
+    nA = int((cls == 1).sum())
+    nB = int((cls == 2).sum())
+    nC = int((cls == 3).sum())
+    nD = int((cls == 4).sum())
+    counts = np.array([nA, nB, nC, nD, nA + nC], dtype=np.int64)
+    return cls, refalt, ex_idx, counts
+
+
+def pack_pair_wire_v3(alleles: np.ndarray, first: np.ndarray,
+                      n_sites: np.ndarray, wp: int, ep_min: int = 4096,
+                      min_bucket: int = 1 << 13):
+    """Wire format v3 for the pairwise kernel: class-partitioned planes.
+
+    Most sites carry no pairwise information worth shipping: a monomorphic
+    fully-called site adds 1 to every pair's shared count (a per-window
+    COUNT suffices); a monomorphic site with missing calls only needs the
+    1-bit called plane; a clean biallelic site only needs the 1-bit alt
+    plane (called is implied all-ones); only biallelic sites with missing
+    calls need both planes.  On real cohorts (overwhelmingly monomorphic)
+    this cuts upload bytes ~10x vs :func:`pack_pair_wire`; the resulting
+    mismatch/shared integers are IDENTICAL, so downstream output is
+    byte-identical.  ONE uint8 flush buffer:
+
+        [calledB H x SpB/8 | altC H x SpC/8 | calledD H x SpD/8 |
+         altD H x SpD/8 |
+         firstB,nB,firstC,nC,firstD,nD,nconst int32[7*wp] |
+         ex_w int32[ep] | ex_codes int8[ep, H]]
+
+    where nconst[w] = number of constant-shared sites (clean mono + clean
+    biallelic) in window w.  Compaction preserves site order, so each
+    window's class-k sites form a contiguous range [firstk, firstk + nk).
+    Returns (buffer, SpB, SpC, SpD, ep, (nBmax, nCmax, nDmax))."""
+    H, S = alleles.shape
+    W = first.shape[0]
+    res = None
+    if os.environ.get("GGT_NO_NATIVE_PARSER") != "1":
+        from ..io import native
+        res = native.classify_pair_sites_native(alleles)
+    if res is None:
+        res = _classify_pair_sites_numpy(alleles)
+    cls, refalt, ex_idx, counts = res
+    nB, nC, nD = int(counts[1]), int(counts[2]), int(counts[3])
+    SpB = _bucket_sites(max(nB, 1), min_bucket)
+    SpC = _bucket_sites(max(nC, 1), min_bucket)
+    SpD = _bucket_sites(max(nD, 1), min_bucket)
+    b8, c8, d8 = SpB // 8, SpC // 8, SpD // 8
+    planes = np.empty(H * (b8 + c8 + 2 * d8), dtype=np.uint8)
+    calledB = planes[:H * b8].reshape(H, b8)
+    altC = planes[H * b8:H * (b8 + c8)].reshape(H, c8)
+    calledD = planes[H * (b8 + c8):H * (b8 + c8 + d8)].reshape(H, d8)
+    altD = planes[H * (b8 + c8 + d8):].reshape(H, d8)
+
+    from ..io import native as _native
+    if os.environ.get("GGT_NO_NATIVE_PARSER") == "1" or \
+            not _native.emit_class_planes_native(
+                alleles, cls, refalt, calledB, b8, altC, c8,
+                calledD, altD, d8):
+        # numpy fallback: fancy-select per class then packbits
+        al = np.ascontiguousarray(alleles)
+        for sel_cls, outs in ((2, (calledB,)), (3, (altC,)),
+                              (4, (calledD, altD))):
+            idx = np.flatnonzero(cls == sel_cls)
+            sub = al[:, idx]
+            if sel_cls == 2:
+                bits = [(sub >= 0)]
+            elif sel_cls == 3:
+                bits = [sub == (refalt[idx] >> 2)[None, :]]
+            else:
+                called = sub >= 0
+                bits = [called,
+                        called & (sub == (refalt[idx] >> 2)[None, :])]
+            for o, b in zip(outs, bits):
+                pb = np.packbits(b, axis=1, bitorder="little")
+                o[:, :pb.shape[1]] = pb
+                o[:, pb.shape[1]:] = 0
+
+    # per-window class ranges via exclusive prefix sums over the class
+    # vector (compaction preserves order -> contiguous ranges)
+    last = first + n_sites
+    meta = np.zeros(7 * wp, np.int32)
+    nmax = []
+    cums = None
+    if os.environ.get("GGT_NO_NATIVE_PARSER") != "1":
+        cums = _native.class_prefix_sums_native(cls)
+    if cums is None:
+        cums = np.empty((4, S + 1), dtype=np.int64)
+        cums[:, 0] = 0
+        for k, code in enumerate((2, 3, 4)):
+            cums[k, 1:] = np.cumsum(cls == code)
+        cums[3, 1:] = np.cumsum((cls == 1) | (cls == 3))
+    for k in range(3):
+        fk = cums[k][first]
+        nk = cums[k][last] - fk
+        meta[2 * k * wp:2 * k * wp + W] = fk
+        meta[(2 * k + 1) * wp:(2 * k + 1) * wp + W] = nk
+        nmax.append(int(nk.max()) if W else 0)
+    meta[6 * wp:6 * wp + W] = cums[3][last] - cums[3][first]
+
+    ep, ex_buf = _exception_buf(alleles, ex_idx, first, n_sites, wp, ep_min)
+    buf = np.concatenate([planes, meta.view(np.uint8), ex_buf])
+    return buf, SpB, SpC, SpD, ep, tuple(nmax)
+
+
+@functools.partial(jax.jit, static_argnames=("spb", "spc", "spd", "h", "wp",
+                                             "ep"))
+def unpack_pair_wire_v3(buf: jnp.ndarray, spb: int, spc: int, spd: int,
+                        h: int, wp: int, ep: int):
+    """Device-side inverse of :func:`pack_pair_wire_v3`.
+
+    Returns (cB int8 [h, spb], aC int8 [h, spc], cD int8 [h, spd],
+    aD int8 [h, spd], firstB, nB, firstC, nC, firstD, nD, nconst
+    int32 [wp] each, ex_w int32 [ep], ex_codes int8 [ep, h])."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+
+    def bits(off, sp8):
+        p = buf[off:off + h * sp8].reshape(h, sp8)
+        return ((p[:, :, None] >> shifts) & 1).reshape(h, 8 * sp8) \
+            .astype(jnp.int8)
+
+    b8, c8, d8 = spb // 8, spc // 8, spd // 8
+    cB = bits(0, b8)
+    aC = bits(h * b8, c8)
+    cD = bits(h * (b8 + c8), d8)
+    aD = bits(h * (b8 + c8 + d8), d8)
+    base = h * (b8 + c8 + 2 * d8)
+    meta = jax.lax.bitcast_convert_type(
+        buf[base:base + 28 * wp].reshape(7 * wp, 4), jnp.int32)
+    m = [meta[k * wp:(k + 1) * wp] for k in range(7)]
+    if ep:
+        ex0 = base + 28 * wp
+        ex_w = jax.lax.bitcast_convert_type(
+            buf[ex0:ex0 + 4 * ep].reshape(ep, 4), jnp.int32)
+        ex_codes = jax.lax.bitcast_convert_type(
+            buf[ex0 + 4 * ep:ex0 + 4 * ep + ep * h], jnp.int8).reshape(ep, h)
+    else:
+        ex_w = jnp.zeros((0,), jnp.int32)
+        ex_codes = jnp.zeros((0, h), jnp.int8)
+    return (cB, aC, cD, aD, m[0], m[1], m[2], m[3], m[4], m[5], m[6],
+            ex_w, ex_codes)
 
 
 def upload_span(alleles: np.ndarray, mesh=None,

@@ -85,6 +85,72 @@ def test_two_file_intersect_oracle(tmp_path):
         assert p[2:] == rows_a[k] + rows_b[k]
 
 
+def _write_adv_vcf(path, rng, chroms, n_sites=800, samples=("s1", "s2")):
+    lines = ["##fileformat=VCFv4.2"]
+    lines += [f"##contig=<ID={c},length=100000>" for c in chroms]
+    lines += ['##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+              "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+              + "\t".join(samples)]
+    for chrom in chroms:
+        pos = 0
+        for _ in range(n_sites):
+            r = rng.random()
+            if r < 0.08 and pos > 10:
+                p = pos - rng.randint(1, 9)          # stale
+            elif r < 0.16 and pos > 0:
+                p = pos                               # duplicate
+            else:
+                pos += rng.randint(1, 25)
+                p = pos
+            q = rng.choice(["50", "10", "."])
+            gts = "\t".join(rng.choice(["0/1", "1|1", "./.", "0/0"])
+                            for _ in samples)
+            lines.append(f"{chrom}\t{p}\t.\tA\tG\t{q}\tPASS\t.\tGT\t{gts}")
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def test_multi_file_merge_fast_matches_serial(tmp_path):
+    """The C multi-file merge (per-file converter threads + k-way positional
+    merge) must be byte-identical to the serial Python walk for union and
+    intersect, at any -t / chunk size, including files with asymmetric
+    scaffold sets (parseVCFs.py:60-87 semantics)."""
+    import os
+    import random
+    import subprocess
+    import sys
+    rng = random.Random(11)
+    _write_adv_vcf(tmp_path / "f1.vcf", rng, ("c1", "c2", "c4"))
+    _write_adv_vcf(tmp_path / "f2.vcf", rng, ("c2", "c3", "c4"),
+                   samples=("t1",))
+    _write_adv_vcf(tmp_path / "f3.vcf", rng, ("c1", "c4"),
+                   samples=("u1", "u2", "u3"))
+    fai = tmp_path / "g.fai"
+    fai.write_text("c1\t100000\nc2\t100000\nc3\t100000\nc4\t15000\n")
+
+    def run(out, method, env, extra):
+        e = dict(os.environ)
+        e.update(env)
+        r = subprocess.run(
+            [sys.executable, "-m", "genomics_general_tpu.cli.parse_vcfs",
+             "-i", str(tmp_path / "f1.vcf"), "-i", str(tmp_path / "f2.vcf"),
+             "-i", str(tmp_path / "f3.vcf"), "-f", str(fai),
+             "-M", method, "--minQual", "30", "-o", out, *extra],
+            capture_output=True, env=e, cwd=Path(__file__).parent.parent)
+        assert r.returncode == 0, r.stderr.decode()[-2000:]
+        return open(out, "rb").read()
+
+    for method in ("union", "intersect"):
+        base = run(str(tmp_path / "serial.geno"), method,
+                   {"GGT_HOST_VCF": "0"}, [])
+        assert base.count(b"\n") > (200 if method == "union" else 1)
+        for name, env, extra in [
+                ("t1", {}, ["-t", "1"]),
+                ("t2", {}, ["-t", "2"]),
+                ("t4c", {"GGT_VCF_CHUNK": "2048"}, ["-t", "4"])]:
+            got = run(str(tmp_path / f"{name}.geno"), method, env, extra)
+            assert got == base, (method, name)
+
+
 def test_parallel_chunks_adversarial_boundaries(tmp_path):
     """Stale (backwards) and duplicate positions plus QUAL drops straddling
     forced-tiny chunk boundaries: -t N with 1-4 KB chunks must match -t 1
