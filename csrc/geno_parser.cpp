@@ -1509,6 +1509,65 @@ void emit_class_planes(
   delete[] altcC; delete[] altcD;
 }
 
+// pairwise_window_counts: per-window pairwise mismatch/shared counts over
+// the v2 bit planes (called/alt from pack_pair_planes), on the host CPU.
+//
+// This is the small-cohort executor of the pairwise kernel: with H
+// haplotypes there are only H(H-1)/2 pairs, and word-parallel
+// AND/XOR/popcount over the planes computes a flush in single-digit
+// milliseconds — faster than any device round trip when H is small (the
+// MXU path wins once H^2 work dominates; kernels/pairdist picks per the
+// cost model).  Exception (multi-allelic) sites are cleared in the planes
+// and patched by the caller exactly as on the device path, so the
+// integers are identical.
+//
+// called/alt : uint8 [H, sp8] little-endian site bits, sp8 % 8 == 0
+// first/n    : window spans (site indices); m_out/s_out int32 [W, H, H]
+void pairwise_window_counts(
+    const uint8_t* called, const uint8_t* alt, int64_t sp8, int64_t H,
+    const int64_t* first, const int64_t* n_sites, int64_t W,
+    int32_t* m_out, int32_t* s_out) {
+  int64_t nw = sp8 / 8;
+  const uint64_t* Cw = (const uint64_t*)called;
+  const uint64_t* Aw = (const uint64_t*)alt;
+  memset(m_out, 0, (size_t)(W * H * H) * 4);
+  memset(s_out, 0, (size_t)(W * H * H) * 4);
+  for (int64_t w = 0; w < W; ++w) {
+    int64_t f = first[w], n = n_sites[w];
+    if (n <= 0) continue;
+    int64_t w0 = f >> 6, w1 = (f + n - 1) >> 6;
+    uint64_t mask0 = ~0ULL << (f & 63);
+    uint64_t mask1 = ~0ULL >> (63 - ((f + n - 1) & 63));
+    if (w0 == w1) mask0 &= mask1;
+    int32_t* mw = m_out + w * H * H;
+    int32_t* sw = s_out + w * H * H;
+    for (int64_t i = 0; i < H; ++i) {
+      const uint64_t* ci = Cw + i * nw;
+      const uint64_t* ai = Aw + i * nw;
+      for (int64_t j = 0; j <= i; ++j) {
+        const uint64_t* cj = Cw + j * nw;
+        const uint64_t* aj = Aw + j * nw;
+        int64_t s = 0, m = 0;
+        uint64_t both = ci[w0] & cj[w0] & mask0;
+        s += __builtin_popcountll(both);
+        m += __builtin_popcountll((ai[w0] ^ aj[w0]) & both);
+        for (int64_t k = w0 + 1; k < w1; ++k) {
+          both = ci[k] & cj[k];
+          s += __builtin_popcountll(both);
+          m += __builtin_popcountll((ai[k] ^ aj[k]) & both);
+        }
+        if (w1 > w0) {
+          both = ci[w1] & cj[w1] & mask1;
+          s += __builtin_popcountll(both);
+          m += __builtin_popcountll((ai[w1] ^ aj[w1]) & both);
+        }
+        mw[i * H + j] = mw[j * H + i] = (int32_t)m;
+        sw[i * H + j] = sw[j * H + i] = (int32_t)s;
+      }
+    }
+  }
+}
+
 // merge_geno_blocks: k-way positional merge of converted .geno row blocks
 // (one scaffold; the parseVCFs multi-file union/intersect merge,
 // /root/reference/VCF_processing/parseVCFs.py:60-87 — but over rows the C

@@ -114,6 +114,16 @@ def get_lib():
     except AttributeError:
         pass
     try:
+        lib.pairwise_window_counts.restype = None
+        lib.pairwise_window_counts.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C")]
+    except AttributeError:
+        pass
+    try:
         lib.merge_geno_blocks.restype = ctypes.c_int64
         lib.merge_geno_blocks.argtypes = [
             ctypes.c_int32, ctypes.POINTER(ctypes.c_void_p),
@@ -364,6 +374,28 @@ def merge_geno_blocks_native(blocks: list, sep: int, limit_pos: int,
             cap *= 2
             continue
         return out[:w].tobytes(), consumed
+
+
+def pairwise_window_counts_native(called: np.ndarray, alt: np.ndarray,
+                                  sp8: int, first: np.ndarray,
+                                  n_sites: np.ndarray):
+    """C host executor for per-window pairwise mismatch/shared counts over
+    the v2 bit planes.  Returns (mismatch, shared) int32 [W, H, H] or None
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pairwise_window_counts"):
+        return None
+    H = called.shape[0]
+    W = first.shape[0]
+    m = np.empty((W, H, H), dtype=np.int32)
+    s = np.empty((W, H, H), dtype=np.int32)
+    lib.pairwise_window_counts(
+        called.ctypes.data_as(ctypes.c_void_p),
+        alt.ctypes.data_as(ctypes.c_void_p),
+        np.int64(sp8), np.int64(H),
+        np.ascontiguousarray(first, dtype=np.int64),
+        np.ascontiguousarray(n_sites, dtype=np.int64), np.int64(W), m, s)
+    return m, s
 
 
 def class_prefix_sums_native(cls: np.ndarray):

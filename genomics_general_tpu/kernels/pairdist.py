@@ -34,6 +34,7 @@ with ~24 ms round-trips, so wire bytes dominate):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -445,6 +446,87 @@ def _v3_flush_args(alleles: np.ndarray, first: np.ndarray,
     return buf, SpB, SpC, SpD, H, wp, sb, sc, sd, chunk, ep, u16
 
 
+# ------------------------------------------------------- host executor
+
+def _exec_choice(H: int) -> str:
+    """'host' | 'tpu': place the pairwise flush where it runs fastest.
+
+    A flush does O(W * s * H^2) pair-site work.  The host executor (C
+    word-parallel AND/XOR/popcount over the v2 bit planes) runs it at
+    ~1-2 G pair-site/s with ZERO transfer; the device path pays the wire
+    (O(s * H) bits over a link whose throughput varies) to light up the
+    MXU, which only pays off once the H^2 term dominates.  Measured on the
+    target: at H = 20 the host does a 290k-site flush in ~2 ms vs ~6 ms
+    device compute plus the upload; at H >= a few hundred the device wins
+    outright.  GGT_EXEC forces 'host' or 'tpu'; GGT_EXEC_HMAX moves the
+    auto crossover (default 96)."""
+    mode = os.environ.get("GGT_EXEC", "auto")
+    if mode in ("host", "tpu"):
+        return mode
+    return "host" if H <= int(os.environ.get("GGT_EXEC_HMAX", 96)) else "tpu"
+
+
+def _host_flush_counts(alleles: np.ndarray, first: np.ndarray,
+                       n_sites: np.ndarray):
+    """Host executor: (mismatch, shared) int32 [W, H, H] for one flush —
+    identical integers to the device kernels (same planes, same exception
+    patching).  Returns None when the native library is unavailable."""
+    from ..io import native
+    H, S = alleles.shape
+    sp8 = ((max(S, 1) + 63) // 64) * 8
+    planes = np.empty((2, H, sp8), dtype=np.uint8)
+    res = None
+    if os.environ.get("GGT_NO_NATIVE_PARSER") != "1":
+        res = native.pack_pair_planes_native(alleles, planes[0], planes[1],
+                                             sp8)
+    if res is None:
+        res = transfer._pack_pair_planes_numpy(alleles, planes[0], planes[1],
+                                               sp8)
+    refalt, ex_idx = res
+    ms = native.pairwise_window_counts_native(planes[0], planes[1], sp8,
+                                              first, n_sites)
+    if ms is None:
+        return None
+    m, s = ms
+    if ex_idx.size:
+        pairs_w, pairs_s = transfer.map_exception_windows(
+            ex_idx, first, n_sites)
+        if pairs_w.size:
+            codes = alleles[:, pairs_s].T                  # [E, H]
+            called = codes >= 0
+            both = called[:, :, None] & called[:, None, :]
+            eq = codes[:, :, None] == codes[:, None, :]
+            np.add.at(m, pairs_w, (both & ~eq).astype(np.int32))
+            np.add.at(s, pairs_w, both.astype(np.int32))
+    return m, s
+
+
+def _blocks_from_counts(m: np.ndarray, s: np.ndarray, pop_mask: np.ndarray,
+                        min_sites: int):
+    """Numpy mirror of the device blocks tail (:func:`_modes_tail`):
+    float64 nanmean numerators/denominators per pop-pair block."""
+    ms = max(int(min_sites or 0), 1)
+    h = m.shape[1]
+    offdiag = ~np.eye(h, dtype=bool)
+    valid = (s >= ms) & offdiag[None, :, :]
+    d0 = np.zeros(m.shape, dtype=np.float64)
+    np.divide(m, s, out=d0, where=valid)
+    pm = pop_mask.astype(np.float64)
+    sums = np.einsum("whg,ph,qg->wpq", d0, pm, pm)
+    cnts = np.einsum("whg,ph,qg->wpq", valid.astype(np.float64), pm, pm)
+    return sums, cnts
+
+
+class _ReadyHandle:
+    """Handle over results the host executor already computed."""
+
+    def __init__(self, vals):
+        self.vals = vals
+
+    def collect(self):
+        return self.vals
+
+
 @functools.partial(jax.jit,
                    static_argnames=("sp", "h", "wp", "s_max", "chunk"))
 def _fused_flush_pair_counts(buf: jnp.ndarray, sp: int, h: int, wp: int,
@@ -534,6 +616,10 @@ def _dispatch_fused(alleles: np.ndarray, first: np.ndarray,
     handle = PairCountsHandle(W, H, [])
     if W == 0:
         return handle
+    if _exec_choice(H) == "host":
+        res = _host_flush_counts(alleles, first, n_sites)
+        if res is not None:
+            return _ReadyHandle(res)
     v3 = _v3_flush_args(alleles, first, n_sites)
     if v3 is not None:
         buf, SpB, SpC, SpD, H, wp, sb, sc, sd, chunk, ep, u16 = v3
@@ -592,6 +678,10 @@ def window_pair_block_stats_dispatch(alleles: np.ndarray, first: np.ndarray,
     handle = PairBlockStatsHandle(W, P, [])
     if W == 0:
         return handle
+    if _exec_choice(H := alleles.shape[0]) == "host":
+        res = _host_flush_counts(alleles, first, n_sites)
+        if res is not None:
+            return _ReadyHandle(_blocks_from_counts(*res, pop_mask, min_sites))
     v3 = _v3_flush_args(alleles, first, n_sites)
     if v3 is not None:
         buf, SpB, SpC, SpD, H, wp, sb, sc, sd, chunk, ep, u16 = v3
@@ -656,6 +746,15 @@ def window_pair_ind_blocks_dispatch(alleles: np.ndarray, first: np.ndarray,
     handle = PairBlocksHetHandle(W, ind_mask.shape[0], [])
     if W == 0:
         return handle
+    if _exec_choice(alleles.shape[0]) == "host":
+        res = _host_flush_counts(alleles, first, n_sites)
+        if res is not None:
+            m, s = res
+            sums, cnts = _blocks_from_counts(m, s, ind_mask, min_sites)
+            r1, r2 = het_rows[0], het_rows[1]
+            return _ReadyHandle((sums, cnts,
+                                 m[:, r1, r2].astype(np.int64),
+                                 s[:, r1, r2].astype(np.int64)))
     v3 = _v3_flush_args(alleles, first, n_sites)
     if v3 is not None:
         buf, SpB, SpC, SpD, H, wp, sb, sc, sd, chunk, ep, u16 = v3

@@ -246,6 +246,32 @@ def pack_pair_wire(alleles: np.ndarray, first: np.ndarray,
     return buf, Sp, ep
 
 
+def map_exception_windows(ex_idx: np.ndarray, first: np.ndarray,
+                          n_sites: np.ndarray):
+    """Map exception site indices to the windows containing them (possibly
+    several for overlapping windows).  Returns (pairs_w int32, pairs_s)."""
+    W = first.shape[0]
+    if not (ex_idx.size and W):
+        return np.empty(0, np.int32), np.empty(0, np.int64)
+    last = first + n_sites
+    if np.all(np.diff(first) >= 0) and np.all(np.diff(last) >= 0):
+        lo = np.searchsorted(last, ex_idx, side="right")
+        hi = np.searchsorted(first, ex_idx, side="right")
+        reps = np.maximum(hi - lo, 0)
+        pairs_s = np.repeat(ex_idx, reps)
+        pairs_w = np.concatenate(
+            [np.arange(l, h, dtype=np.int32)
+             for l, h in zip(lo, hi) if h > l]) \
+            if reps.sum() else np.empty(0, np.int32)
+    else:  # unsorted plans (rare): exact O(E*W) containment
+        inw = (ex_idx[:, None] >= first[None, :]) \
+            & (ex_idx[:, None] < last[None, :])
+        e_i, w_i = np.nonzero(inw)
+        pairs_s = ex_idx[e_i]
+        pairs_w = w_i.astype(np.int32)
+    return pairs_w, pairs_s
+
+
 def _exception_buf(alleles: np.ndarray, ex_idx: np.ndarray,
                    first: np.ndarray, n_sites: np.ndarray, wp: int,
                    ep_min: int) -> tuple[int, np.ndarray]:
@@ -256,29 +282,7 @@ def _exception_buf(alleles: np.ndarray, ex_idx: np.ndarray,
     ep == 0 -> empty buffer."""
     H = alleles.shape[0]
     W = first.shape[0]
-    pairs_w: np.ndarray
-    pairs_s: np.ndarray
-    if ex_idx.size and W:
-        last = first + n_sites
-        if np.all(np.diff(first) >= 0) and np.all(np.diff(last) >= 0):
-            lo = np.searchsorted(last, ex_idx, side="right")
-            hi = np.searchsorted(first, ex_idx, side="right")
-            reps = np.maximum(hi - lo, 0)
-            pairs_s = np.repeat(ex_idx, reps)
-            pairs_w = np.concatenate(
-                [np.arange(l, h, dtype=np.int32)
-                 for l, h in zip(lo, hi) if h > l]) \
-                if reps.sum() else np.empty(0, np.int32)
-        else:  # unsorted plans (rare): exact O(E*W) containment
-            inw = (ex_idx[:, None] >= first[None, :]) \
-                & (ex_idx[:, None] < last[None, :])
-            e_i, w_i = np.nonzero(inw)
-            pairs_s = ex_idx[e_i]
-            pairs_w = w_i.astype(np.int32)
-    else:
-        pairs_s = np.empty(0, np.int64)
-        pairs_w = np.empty(0, np.int32)
-
+    pairs_w, pairs_s = map_exception_windows(ex_idx, first, n_sites)
     E = pairs_w.size
     if E == 0:
         return 0, np.empty(0, dtype=np.uint8)

@@ -15,6 +15,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# The pairwise executor auto-places small-H flushes on the host C path;
+# tests default to the device (jit) executor so the golden suite keeps
+# covering the XLA kernels (fixtures are all small-H).  Host-executor
+# equality has its own tests (test_pair_v3.py) and CLI runs with
+# GGT_EXEC=host.
+os.environ.setdefault("GGT_EXEC", "tpu")
+
 import sys
 from pathlib import Path
 

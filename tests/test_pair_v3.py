@@ -106,6 +106,77 @@ def test_v3_edge_classes(rng):
     np.testing.assert_array_equal(s, os_)
 
 
+@pytest.mark.parametrize("overlap", [False, True])
+def test_host_executor_matches_device(rng, overlap):
+    """The host C pairwise executor (GGT_EXEC=host) must produce the same
+    mismatch/shared integers as the jit path on messy data."""
+    a = messy_alleles(rng, H=11, S=900)
+    first, n = make_windows(a.shape[1], rng, overlap)
+    mh, sh = _counts_with_wire(a, first, n, "3")           # device (conftest)
+    old = os.environ.get("GGT_EXEC")
+    os.environ["GGT_EXEC"] = "host"
+    try:
+        m2, s2 = pair_k._dispatch_fused(a, first, n).collect()
+    finally:
+        os.environ["GGT_EXEC"] = old or "tpu"
+    np.testing.assert_array_equal(m2, mh)
+    np.testing.assert_array_equal(s2, sh)
+
+
+def test_host_executor_blocks_matches_device(rng):
+    """Blocks mode (sums/cnts) host vs device, including min_sites gating
+    and the het rows of blocks_het."""
+    a = messy_alleles(rng, H=12, S=1100)
+    H = a.shape[0]
+    first, n = make_windows(a.shape[1], rng)
+    mask = np.zeros((2, H)); mask[0, :6] = 1; mask[1, 6:] = 1
+    het_rows = np.array([[0, 2, 4, 6, 8, 10], [1, 3, 5, 7, 9, 11]],
+                        dtype=np.int32)
+    ind_mask = np.zeros((6, H))
+    for k in range(6):
+        ind_mask[k, 2 * k:2 * k + 2] = 1
+
+    def run(exec_):
+        old = os.environ.get("GGT_EXEC")
+        os.environ["GGT_EXEC"] = exec_
+        try:
+            b = pair_k.window_pair_block_stats_dispatch(
+                a, first, n, mask, 40).collect()
+            hb = pair_k.window_pair_ind_blocks_dispatch(
+                a, first, n, ind_mask, het_rows, 40).collect()
+        finally:
+            os.environ["GGT_EXEC"] = old or "tpu"
+        return b, hb
+
+    (s_d, c_d), (hs_d, hc_d, hm_d, hsh_d) = run("tpu")
+    (s_h, c_h), (hs_h, hc_h, hm_h, hsh_h) = run("host")
+    np.testing.assert_allclose(s_h, s_d, rtol=1e-12, atol=1e-15)
+    np.testing.assert_array_equal(c_h, c_d)
+    np.testing.assert_allclose(hs_h, hs_d, rtol=1e-12, atol=1e-15)
+    np.testing.assert_array_equal(hc_h, hc_d)
+    np.testing.assert_array_equal(hm_h, hm_d)
+    np.testing.assert_array_equal(hsh_h, hsh_d)
+
+
+def test_host_executor_cli_golden(tmp_path):
+    """popgenWindows with GGT_EXEC=host matches the device-path output."""
+    from .util import run_cli
+    from pathlib import Path
+    D = Path(__file__).parent / "data"
+    args = ["-g", str(D / "sim1.geno.gz"), "-f", "phased", "-w", "50000",
+            "-m", "100", "--popsFile", str(D / "sim1.pops.txt"),
+            "-p", "pop1", "-p", "pop2", "--analysis", "popDist",
+            "popPairDist", "indHet"]
+    run_cli("genomics_general_tpu.cli.popgen_windows",
+            args + ["-o", str(tmp_path / "dev.csv")],
+            env_extra={"GGT_EXEC": "tpu"})
+    run_cli("genomics_general_tpu.cli.popgen_windows",
+            args + ["-o", str(tmp_path / "host.csv")],
+            env_extra={"GGT_EXEC": "host"})
+    assert (tmp_path / "dev.csv").read_bytes() == \
+        (tmp_path / "host.csv").read_bytes()
+
+
 def test_v3_multiallelic_exceptions(rng):
     """>2-allele sites ride the exception patch in v3 exactly as in v2."""
     H, S = 10, 400

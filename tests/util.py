@@ -11,8 +11,12 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_cli(module: str, args: list[str], env_extra: dict | None = None) -> None:
+    import os
     env = {"JAX_PLATFORMS": "cpu", "PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin:/usr/local/bin",
-           "HOME": "/root"}
+           "HOME": "/root",
+           # keep golden runs on the device (jit) executor by default; the
+           # host pairwise executor has dedicated equality tests
+           "GGT_EXEC": os.environ.get("GGT_EXEC", "tpu")}
     if env_extra:
         env.update(env_extra)
     r = subprocess.run([sys.executable, "-m", module] + args,
