@@ -321,12 +321,18 @@ def main(argv=None) -> int:
                     rows += emit(plan, mism, shar, batch, w, mid)
             progress.update(rows=rows)
 
+        # finalize materializes int32 [W, H, H] matrices on host; cap
+        # the flush window count by a W*H^2 byte budget (large cohorts)
+        import os as _os
+        _whh_cap = max(8, int(_os.environ.get('GGT_WHH_BUDGET', 1 << 28))
+                       // (32 * model.n_rows * model.n_rows))
         engine.run_pipeline(
             engine.stream_windows(
                 reader, wind,
                 include=common.read_scaffold_list(args.include),
                 exclude=common.read_scaffold_list(args.exclude),
-                progress=progress, timer=timer, scaffold_pred=shard_pred),
+                progress=progress, timer=timer, scaffold_pred=shard_pred,
+                max_flush_windows=_whh_cap),
             dispatch, finalize,
             skip=lambda b: b.plan.n_windows == 0)
 

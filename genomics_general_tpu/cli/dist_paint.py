@@ -186,12 +186,18 @@ def main(argv=None) -> int:
             batch.plan.n_sites.astype(np.int32))
         return batch, handle
 
+    # finalize materializes int32 [W, H, H] matrices on host; cap
+    # the flush window count by a W*H^2 byte budget (large cohorts)
+    import os as _os
+    _whh_cap = max(8, int(_os.environ.get('GGT_WHH_BUDGET', 1 << 28))
+                   // (32 * reader.model.n_rows * reader.model.n_rows))
     engine.run_pipeline(
         engine.stream_windows(
             reader, wind,
             include=common.read_scaffold_list(args.include),
             exclude=common.read_scaffold_list(args.exclude),
-            scaffold_pred=shard_pred),
+            scaffold_pred=shard_pred,
+            max_flush_windows=_whh_cap),
         dispatch, finalize,
         skip=lambda b: b.plan.n_windows == 0)
 

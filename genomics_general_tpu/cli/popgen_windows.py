@@ -445,12 +445,22 @@ def main(argv=None) -> int:
                 out.flush()
                 cursor.save(batch.window_offset + plan.n_windows, out.tell())
 
+    # the general distance path (hapStats / mesh / GGT_PACKED_TRANSFER=0)
+    # materializes TWO int32 [W, H, H] matrices per flush on host; cap the
+    # flush window count by a W*H^2 byte budget so large cohorts stay
+    # bounded (the fused blocks paths never materialize them)
+    whh_cap = None
+    if need_dist and not use_blocks:
+        budget = int(os.environ.get("GGT_WHH_BUDGET", 1 << 28))
+        whh_cap = max(8, budget // (32 * model.n_rows * model.n_rows))
+
     engine.run_pipeline(
         engine.stream_windows(
             reader, wind,
             include=common.read_scaffold_list(args.include),
             exclude=common.read_scaffold_list(args.exclude),
-            progress=progress, timer=timer, scaffold_pred=shard_pred),
+            progress=progress, timer=timer, scaffold_pred=shard_pred,
+            max_flush_windows=whh_cap),
         dispatch, finalize,
         # resume: skip batches already fully written
         skip=lambda b: (b.plan.n_windows == 0

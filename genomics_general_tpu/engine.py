@@ -332,7 +332,8 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
                    progress: Progress | None = None,
                    timer: StageTimer | None = None,
                    prefetch_depth: int = 2,
-                   scaffold_pred=None):
+                   scaffold_pred=None,
+                   max_flush_windows: int | None = None):
     """Yield :class:`StreamBatch` objects in window order.
 
     Parameters
@@ -347,10 +348,18 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
     scaffold_pred : optional callable(name) -> bool; scaffolds it rejects
         are dropped (multi-host input sharding — each host keeps only the
         scaffolds it owns, parallel/multihost.py).
+    max_flush_windows : hard cap on windows per emitted batch; oversized
+        pending plans are SPLIT into consecutive batches over the same
+        buffer snapshot.  CLIs whose finalize materializes per-window
+        [H, H] matrices set this from a W*H^2 memory budget so large
+        cohorts never blow up host RAM (SURVEY §7 "O(N^2) distance kernel
+        memory").
     """
     timer = timer or StageTimer(False)
     if min_flush_windows is None:
         min_flush_windows = int(os.environ.get("GGT_FLUSH_WINDOWS", 1024))
+    if max_flush_windows is not None:
+        min_flush_windows = min(min_flush_windows, max_flush_windows)
     # site-budget flush trigger: a flush also fires once the planned span
     # reaches this many sites, whatever the window count.  Per-flush wire
     # bytes scale with sites (not windows), and on the high-RTT device link
@@ -415,10 +424,31 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
     consumed_abs = 0
     base_abs = 0
 
-    def make_batch(snap) -> StreamBatch:
-        nonlocal pending, pending_windows, window_offset
-        plan = (_concat_plans(pending, planner.wt) if pending
+    def _slice_plan(plan: W.WindowPlan, a: int, b: int) -> W.WindowPlan:
+        sub = W.WindowPlan(plan.scaffold_id[a:b], plan.start[a:b],
+                           plan.end[a:b], plan.first[a:b], plan.last[a:b],
+                           plan.wind_type)
+        sub.ids = plan.ids[a:b]
+        return sub
+
+    def make_batches(snap):
+        """Yield the pending plan as one batch, or several of at most
+        ``max_flush_windows`` windows each (same buffer snapshot)."""
+        nonlocal pending, pending_windows
+        full = (_concat_plans(pending, planner.wt) if pending
                 else W.IncrementalPlanner._empty(planner.wt))
+        pending = []
+        pending_windows = 0
+        if max_flush_windows is None or \
+                full.n_windows <= max_flush_windows:
+            yield make_batch(snap, full)
+            return
+        for a in range(0, full.n_windows, max_flush_windows):
+            yield make_batch(
+                snap, _slice_plan(full, a, a + max_flush_windows))
+
+    def make_batch(snap, plan) -> StreamBatch:
+        nonlocal pending, pending_windows, window_offset
         # pieces are in absolute coordinates; rebase to the batch view,
         # which starts at base_abs
         plan.first -= base_abs
@@ -441,8 +471,6 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
         if progress:
             progress.update(windows=plan.n_windows)
         window_offset += plan.n_windows
-        pending = []
-        pending_windows = 0
         return batch
 
     def trim():
@@ -476,14 +504,14 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
                 or (pending_windows and abs_end - base_abs >= flush_sites)
                 or snap[4] - snap[3] > max_buffer_sites):
             flush_count += 1
-            yield make_batch(snap)
+            yield from make_batches(snap)
             trim()
 
     # EOF: finalize trailing windows (and, for predefined plans, rows for
     # scaffolds absent from the data)
     plan_step(snap, final=True)
     if pending_windows or window_offset == 0:
-        yield make_batch(snap)
+        yield from make_batches(snap)
 
 
 def run_pipeline(batches, dispatch, finalize, skip=None, depth: int | None = None):

@@ -466,6 +466,12 @@ def _exec_choice(H: int) -> str:
     return "host" if H <= int(os.environ.get("GGT_EXEC_HMAX", 96)) else "tpu"
 
 
+def _host_available() -> bool:
+    from ..io import native
+    lib = native.get_lib()
+    return lib is not None and hasattr(lib, "pairwise_window_counts")
+
+
 def _host_flush_counts(alleles: np.ndarray, first: np.ndarray,
                        n_sites: np.ndarray):
     """Host executor: (mismatch, shared) int32 [W, H, H] for one flush —
@@ -518,13 +524,16 @@ def _blocks_from_counts(m: np.ndarray, s: np.ndarray, pop_mask: np.ndarray,
 
 
 class _ReadyHandle:
-    """Handle over results the host executor already computed."""
+    """Lazy handle for the host executor: the flush computes at collect()
+    time on the single consumer thread, so at most one batch's [W, H, H]
+    matrices are materialized however deep the pipeline is (the device
+    path's in-flight payloads live on the device)."""
 
-    def __init__(self, vals):
-        self.vals = vals
+    def __init__(self, thunk):
+        self._thunk = thunk
 
     def collect(self):
-        return self.vals
+        return self._thunk()
 
 
 @functools.partial(jax.jit,
@@ -616,10 +625,9 @@ def _dispatch_fused(alleles: np.ndarray, first: np.ndarray,
     handle = PairCountsHandle(W, H, [])
     if W == 0:
         return handle
-    if _exec_choice(H) == "host":
-        res = _host_flush_counts(alleles, first, n_sites)
-        if res is not None:
-            return _ReadyHandle(res)
+    if _exec_choice(H) == "host" and _host_available():
+        return _ReadyHandle(
+            lambda: _host_flush_counts(alleles, first, n_sites))
     v3 = _v3_flush_args(alleles, first, n_sites)
     if v3 is not None:
         buf, SpB, SpC, SpD, H, wp, sb, sc, sd, chunk, ep, u16 = v3
@@ -678,10 +686,11 @@ def window_pair_block_stats_dispatch(alleles: np.ndarray, first: np.ndarray,
     handle = PairBlockStatsHandle(W, P, [])
     if W == 0:
         return handle
-    if _exec_choice(H := alleles.shape[0]) == "host":
-        res = _host_flush_counts(alleles, first, n_sites)
-        if res is not None:
-            return _ReadyHandle(_blocks_from_counts(*res, pop_mask, min_sites))
+    if _exec_choice(alleles.shape[0]) == "host" and _host_available():
+        return _ReadyHandle(
+            lambda: _blocks_from_counts(
+                *_host_flush_counts(alleles, first, n_sites),
+                pop_mask, min_sites))
     v3 = _v3_flush_args(alleles, first, n_sites)
     if v3 is not None:
         buf, SpB, SpC, SpD, H, wp, sb, sc, sd, chunk, ep, u16 = v3
@@ -746,15 +755,14 @@ def window_pair_ind_blocks_dispatch(alleles: np.ndarray, first: np.ndarray,
     handle = PairBlocksHetHandle(W, ind_mask.shape[0], [])
     if W == 0:
         return handle
-    if _exec_choice(alleles.shape[0]) == "host":
-        res = _host_flush_counts(alleles, first, n_sites)
-        if res is not None:
-            m, s = res
+    if _exec_choice(alleles.shape[0]) == "host" and _host_available():
+        def _thunk():
+            m, s = _host_flush_counts(alleles, first, n_sites)
             sums, cnts = _blocks_from_counts(m, s, ind_mask, min_sites)
             r1, r2 = het_rows[0], het_rows[1]
-            return _ReadyHandle((sums, cnts,
-                                 m[:, r1, r2].astype(np.int64),
-                                 s[:, r1, r2].astype(np.int64)))
+            return (sums, cnts, m[:, r1, r2].astype(np.int64),
+                    s[:, r1, r2].astype(np.int64))
+        return _ReadyHandle(_thunk)
     v3 = _v3_flush_args(alleles, first, n_sites)
     if v3 is not None:
         buf, SpB, SpC, SpD, H, wp, sb, sc, sd, chunk, ep, u16 = v3

@@ -28,6 +28,47 @@ def test_coordinate_full_panel(tmp_path):
 
 
 @pytest.mark.golden
+def test_hapstats_large_cohort_bounded_memory(tmp_path):
+    """256 diploid individuals (H=512), hapStats over 600 sites-windows: the
+    W*H^2 flush cap must keep peak host RSS under 1 GB — an uncapped flush
+    of all 600 windows would need ~1.3 GB for the [W, H, H] count mirrors
+    alone (VERDICT r4 #4; SURVEY §7 'O(N^2) distance kernel memory')."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from genomics_general_tpu.testing import simulate_geno_bytes
+    data, inds = simulate_geno_bytes(n_pops=2, inds_per_pop=128,
+                                     n_sites=60000, scaffold_len=3_000_000,
+                                     n_scaffolds=1)
+    geno = tmp_path / "big.geno"
+    geno.write_bytes(data)
+    pops = tmp_path / "pops.txt"
+    pops.write_text("".join(f"{i}\t{i.rsplit('_', 1)[0]}\n" for i in inds))
+    driver = textwrap.dedent("""
+        import resource, sys
+        from genomics_general_tpu.cli.popgen_windows import main
+        main(sys.argv[1:])
+        print("MAXRSS_KB", resource.getrusage(resource.RUSAGE_SELF).ru_maxrss,
+              file=sys.stderr)
+    """)
+    env = {"JAX_PLATFORMS": "cpu", "PYTHONPATH": str(REPO),
+           "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root",
+           "GGT_EXEC": "host"}
+    r = subprocess.run(
+        [sys.executable, "-c", driver,
+         "-g", str(geno), "-f", "phased",
+         "--windType", "sites", "-w", "100", "-m", "10",
+         "-p", "pop1", "-p", "pop2", "--popsFile", str(pops),
+         "--analysis", "hapStats", "-o", str(tmp_path / "o.csv")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    rss_kb = int(r.stderr.rsplit("MAXRSS_KB", 1)[1].split()[0])
+    assert rss_kb < (1 << 20), f"peak RSS {rss_kb / 1024:.0f} MB >= 1 GB"
+    n_rows = open(tmp_path / "o.csv").read().count("\n")
+    assert n_rows > 500, n_rows
+
+
 def test_sites_windows(tmp_path):
     out = tmp_path / "o.csv"
     run_cli(MOD, ["-g", str(D / "sim1.geno.gz"), "-f", "phased",
