@@ -53,33 +53,47 @@ VCF_SITES = int(os.environ.get("BENCH_VCF_SITES", 300_000))
 VCF_REF_SITES = int(os.environ.get("BENCH_VCF_REF_SITES", 8_000))
 
 
+def _vcf_subset(vcf, sub, n):
+    import gzip
+    with gzip.open(vcf, "rb") as f:
+        lines = []
+        data = 0
+        for ln in f:
+            lines.append(ln)
+            if not ln.startswith(b"#"):
+                data += 1
+                if data >= n:
+                    break
+    with gzip.open(sub, "wb", compresslevel=4) as f:
+        f.writelines(lines)
+
+
 def ensure_vcf_data():
-    """Synthetic VCF (SNPs/indels/multiallelic/missing/dups, DP+GQ fields)
-    for the ingest config, plus a small subset for the reference
-    denominator."""
+    """Synthetic VCFs (SNPs/indels/multiallelic/missing/dups, DP+GQ fields)
+    for the ingest configs, plus small subsets for the reference
+    denominators.  Returns (vcf, sub, vcf2, sub2); the second file drives
+    the 2-file parseVCFs merge config."""
     CACHE.mkdir(exist_ok=True)
     vcf = CACHE / f"bench_{VCF_SITES}.vcf.gz"
     sub = CACHE / f"bench_vcfref_{VCF_REF_SITES}.vcf.gz"
+    vcf2 = CACHE / f"bench2_{VCF_SITES}.vcf.gz"
+    sub2 = CACHE / f"bench2_vcfref_{VCF_REF_SITES}.vcf.gz"
+    from tests.gen_fixtures import simulate_vcf
     if not vcf.exists():
-        from tests.gen_fixtures import simulate_vcf
         simulate_vcf(vcf, n_samples=20, seed=23,
                      scaffolds=tuple((f"chr{i+1}", 40_000_000)
                                      for i in range(4)),
                      n_sites_per_scaf=VCF_SITES // 4)
+    if not vcf2.exists():
+        simulate_vcf(vcf2, n_samples=12, seed=29,
+                     scaffolds=tuple((f"chr{i+1}", 40_000_000)
+                                     for i in range(4)),
+                     n_sites_per_scaf=VCF_SITES // 4)
     if not sub.exists():
-        import gzip
-        with gzip.open(vcf, "rb") as f:
-            lines = []
-            data = 0
-            for ln in f:
-                lines.append(ln)
-                if not ln.startswith(b"#"):
-                    data += 1
-                    if data >= VCF_REF_SITES:
-                        break
-        with gzip.open(sub, "wb", compresslevel=4) as f:
-            f.writelines(lines)
-    return vcf, sub
+        _vcf_subset(vcf, sub, VCF_REF_SITES)
+    if not sub2.exists():
+        _vcf_subset(vcf2, sub2, VCF_REF_SITES)
+    return vcf, sub, vcf2, sub2
 
 
 def ensure_data():
@@ -157,13 +171,26 @@ def config_cmds(geno, pops, wc, out_dir):
     """
     o = lambda n: str(Path(out_dir) / n)  # noqa: E731
     g = str(geno)
-    vcf, _vcf_sub = ensure_vcf_data()
+    vcf, _vcf_sub, vcf2, _vcf_sub2 = ensure_vcf_data()
     return {
         "parsevcf": [(
             "genomics_general_tpu.cli.parse_vcfs",
             ["-i", str(vcf), "-t", "2", "-o", o("parsevcf.geno")],
             "VCF_processing/parseVCF.py",
             ["-i", "VCFSUB", "-o", o("ref_parsevcf.geno")])],
+        # 2-file union merge (the reference parseVCFs.py's whole reason to
+        # exist).  Reference parseVCFs needs real tabix indexes this image
+        # lacks, so the denominator is THIS repo's serial per-line Python
+        # walk (GGT_HOST_VCF=0) — a faithful, bug-fixed implementation of
+        # the reference's merge algorithm and a conservative proxy (the
+        # reference adds tabix-subprocess overhead on top).
+        "parsevcfs2": [(
+            "genomics_general_tpu.cli.parse_vcfs",
+            ["-i", str(vcf), "-i", str(vcf2), "-M", "union", "-t", "2",
+             "-o", o("parsevcfs2.geno")],
+            "SELF_SERIAL:parse_vcfs",
+            ["-i", "VCFSUB", "-i", "VCFSUB2", "-M", "union",
+             "-o", o("ref_parsevcfs2.geno")])],
         "popgen": [(
             "genomics_general_tpu.cli.popgen_windows",
             ["-g", g, "-f", "phased", "-w", "50000", "-m", "100",
@@ -264,6 +291,21 @@ def _ref_shim() -> str:
 
 def run_ref_step(script, args):
     env = dict(os.environ, PYTHONHASHSEED="0")
+    if script.startswith("SELF_SERIAL:"):
+        # denominator = this repo's own serial Python implementation of the
+        # reference algorithm (used where the reference script cannot run
+        # in this image — e.g. parseVCFs needs tabix)
+        mod = "genomics_general_tpu.cli." + script.split(":", 1)[1]
+        env["GGT_HOST_VCF"] = "0"
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run([sys.executable, "-m", mod, *args],
+                               capture_output=True, env=env, timeout=420,
+                               cwd=str(REPO))
+        except subprocess.TimeoutExpired:
+            return None
+        dt = time.perf_counter() - t0
+        return dt if r.returncode == 0 else None
     t0 = time.perf_counter()
     try:
         r = subprocess.run(
@@ -310,12 +352,14 @@ def load_results() -> dict:
 
 def main():
     geno, pops, sub, wc, wc_sub = ensure_data()
+    vcf_path = ensure_vcf_data()[0]
     out_dir = Path("/tmp/bench_all")
     out_dir.mkdir(exist_ok=True)
     doc = load_results()
     results = doc["results"]
     only = set(sys.argv[1:])
-    per_cfg_sites = {"parsevcf": (VCF_SITES, VCF_REF_SITES)}
+    per_cfg_sites = {"parsevcf": (VCF_SITES, VCF_REF_SITES),
+                     "parsevcfs2": (2 * VCF_SITES, 2 * VCF_REF_SITES)}
     for name, steps in config_cmds(geno, pops, wc, out_dir).items():
         if only and name not in only:
             continue
@@ -324,11 +368,14 @@ def main():
         weather0 = host_weather()
         # warm-up (compiles), then N_RUNS engine/reference pairs INTERLEAVED
         # so both sides sample the same host-weather distribution (the box's
-        # CPU/memory throughput swings several-fold minute to minute)
-        for module, args, _, _ in steps:
-            run_engine_step(module, args)            # compile warm-up
+        # CPU/memory throughput swings several-fold minute to minute).  The
+        # warm-up wall is the cold-start record (persistent-cache loads or
+        # XLA compiles on an empty cache).
+        cold_s = sum(run_engine_step(module, args)
+                     for module, args, _, _ in steps)
         times = []
         ref_times = []
+        pairs = []
         stage_splits = None
         thread_flag = {"freq.py": ["-t", "1"], "sfs.py": []}
         have_ref = Path(REF_PATH).exists()
@@ -352,7 +399,9 @@ def main():
                     rargs = swap_input(rargs, wc, wc_sub)
                     rargs += thread_flag.get(script, ["-T", "1"])
                 else:
-                    rargs = swap_input(ref_args, "VCFSUB",
+                    rargs = swap_input(ref_args, "VCFSUB2",
+                                       ensure_vcf_data()[3])
+                    rargs = swap_input(rargs, "VCFSUB",
                                        ensure_vcf_data()[1])
                     rargs = swap_input(rargs, "SUB", sub)
                 d = run_ref_step(script, rargs)
@@ -363,6 +412,7 @@ def main():
                 dt += d
             if ok:
                 ref_times.append(dt)
+                pairs.append((times[-1], dt))
         eng_dt = statistics.median(times)
         eng_sps = cfg_sites / eng_dt
         ref_sps = None
@@ -378,11 +428,31 @@ def main():
             "ref_sites_per_s": round(ref_sps, 1) if ref_sps else None,
             "ref_runs_s": [round(t, 3) for t in ref_times],
             "speedup": round(eng_sps / ref_sps, 2) if ref_sps else None,
+            "speedup_paired": round(statistics.median(
+                [(cfg_sites / e) / (cfg_ref_sites / r) for e, r in pairs]), 2)
+                if pairs else None,
+            "cold_first_run_s": round(cold_s, 3),
             "stages": stage_splits,
             "memcpy_mb_s": [weather0, host_weather()],
             "timestamp": datetime.datetime.now(datetime.timezone.utc)
                          .strftime("%Y-%m-%dT%H:%M:%SZ"),
         }
+        if name == "parsevcf":
+            # -t scaling curve + the irreducible gz-decompress stage, so the
+            # committed number is defended by a breakdown, not a footnote
+            module0, args0 = steps[0][0], steps[0][1]
+            curve = {}
+            for tflag in ("1", "2"):
+                a = list(args0)
+                a[a.index("-t") + 1] = tflag
+                curve[f"t{tflag}_s"] = round(run_engine_step(module0, a), 3)
+            from genomics_general_tpu.io import vcf_fast as _vf
+            t0 = time.perf_counter()
+            n_bytes = sum(len(c) for c in _vf.text_chunks(str(vcf_path)))
+            curve["gz_decompress_s"] = round(time.perf_counter() - t0, 3)
+            curve["decompressed_mb"] = round(n_bytes / 1e6, 1)
+            row["t_curve"] = curve
+
         if name in results and results[name].get("speedup") is not None:
             prev = dict(results[name])
             prev.pop("stages", None)

@@ -1509,6 +1509,34 @@ void emit_class_planes(
   delete[] altcC; delete[] altcD;
 }
 
+// site_pop_counts_host: per-site per-mask allele counts on the host CPU —
+// the counts stage of the ABBA/f4 host executor (and any other counts
+// consumer with small cohorts).  membership: uint8 [n_rows] bitmask of the
+// (<= 8) masks each row belongs to (masks may overlap, e.g. pops + their
+// union).  counts: out uint16 [n_sites, n_masks, 4], zeroed here.
+void site_pop_counts_host(
+    const int8_t* alleles, int64_t n_rows, int64_t row_stride,
+    int64_t n_sites, const uint8_t* membership, int32_t n_masks,
+    uint16_t* counts) {
+  memset(counts, 0, (size_t)(n_sites * n_masks * 4) * 2);
+  for (int64_t h = 0; h < n_rows; ++h) {
+    uint8_t m = membership[h];
+    if (!m) continue;
+    const int8_t* row = alleles + h * row_stride;
+    for (int64_t s = 0; s < n_sites; ++s) {
+      int8_t c = row[s];
+      if (c < 0) continue;
+      uint16_t* base = counts + (size_t)(s * n_masks) * 4 + c;
+      uint8_t mm = m;
+      while (mm) {
+        int p = __builtin_ctz(mm);
+        mm &= (uint8_t)(mm - 1);
+        base[4 * p] += 1;
+      }
+    }
+  }
+}
+
 // pairwise_window_counts: per-window pairwise mismatch/shared counts over
 // the v2 bit planes (called/alt from pack_pair_planes), on the host CPU.
 //

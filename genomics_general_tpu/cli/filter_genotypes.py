@@ -234,7 +234,16 @@ def main(argv=None) -> int:
             "not supported in scaffold-sharded multi-host runs"
         shard_pred = multihost.shard_predicate(n_procs,
                                                multihost.process_index())
-        mh_writer = multihost.MultiHostWriter()
+        # incremental gather (default every 8 scaffolds): host 0 writes
+        # while hosts still stream — peak buffered memory is O(scaffold
+        # group), not O(output), which matters for this per-site output
+        # (same wiring as freq).  GGT_GATHER_SCAFS=0 restores the single
+        # end-of-run gather.
+        import os as _os
+        inc_every = int(_os.environ.get("GGT_GATHER_SCAFS", "8"))
+        mh_writer = multihost.MultiHostWriter(
+            incremental_every=inc_every if inc_every > 0 else None,
+            open_out=lambda: writers.open_out(args.outfile), header=head)
         out = None
     else:
         shard_pred, mh_writer = None, None
@@ -441,23 +450,34 @@ def main(argv=None) -> int:
 
     for chunk in _engine._prefetched(all_chunks()):
         a, pos, sids = chunk.alleles, chunk.positions, chunk.scaffold_ids
+        # global stream frontier BEFORE shard filtering: every host observes
+        # the same scaffold sequence, so incremental gather rounds trigger
+        # identically everywhere
+        frontier = int(sids[-1]) if sids.size else None
         if shard_pred is not None:
             owned = np.array([shard_pred(n)
                               for n in reader.scaffold_names], dtype=bool)
             keep = owned[sids]
             if not keep.all():
                 a, pos, sids = a[:, keep], pos[keep], sids[keep]
-            if pos.size == 0:
-                continue
-        process_chunk(a, pos, sids)
-        progress.update(sites=pos.shape[0])
+        if pos.size:
+            process_chunk(a, pos, sids)
+            progress.update(sites=pos.shape[0])
+        if mh_writer is not None and frontier is not None:
+            mh_writer.maybe_gather(frontier, reader.scaffold_names)
 
     if mh_writer is not None:
-        out = writers.open_out(args.outfile) \
-            if multihost.process_index() == 0 else None
-        mh_writer.finish(out, head, reader.scaffold_names)
+        import os as _os
+        out = None
+        if multihost.process_index() == 0 and not mh_writer.incr:
+            out = writers.open_out(args.outfile)
+        out = mh_writer.finish(out, head, reader.scaffold_names)
         if args.outfile and out is not None:
             out.close()
+        if _os.environ.get("GGT_GATHER_DEBUG"):
+            sys.stderr.write(
+                f"[gather] rank {multihost.process_index()} peak buffered "
+                f"{mh_writer.peak_buffered} B\n")
         progress.close()
         return 0
     if args.outfile:

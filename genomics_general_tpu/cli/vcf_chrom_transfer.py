@@ -93,10 +93,12 @@ def main(argv=None) -> int:
                 f"not more than than {new_chrom_lengths[t[0]]}\n")
         new_chrom_lengths[t[0]] = end
 
-    # one pass over the VCF: copy header (swapping contigs), index data lines
+    # header pass: copy header lines (swapping contigs); stops at the first
+    # data line
+    import os as _os
+    tbi = args.vcfFile + ".tbi" if args.vcfFile else None
+    use_index = bool(tbi) and _os.path.exists(tbi)
     contigs_output = False
-    chrom_lines: dict[str, list[str]] = {}
-    chrom_pos: dict[str, list[int]] = {}
     with open_maybe_gz(args.vcfFile, "rt") as vcf:
         for line in vcf:
             if line.startswith("##contig"):
@@ -109,18 +111,44 @@ def main(argv=None) -> int:
             if line.startswith("#"):
                 out.write(line)
                 continue
-            tab = line.find("\t")
-            chrom = line[:tab]
-            pos = int(line[tab + 1:line.find("\t", tab + 1)])
-            chrom_lines.setdefault(chrom, []).append(line.rstrip("\n"))
-            chrom_pos.setdefault(chrom, []).append(pos)
+            break
+
+    chrom_lines: dict[str, list[str]] = {}
+    chrom_pos: dict[str, list[int]] = {}
+    if use_index:
+        # .tbi present: per-region BGZF random access (io/tabix) — a
+        # small-region liftover against a huge VCF reads only the blocks
+        # the index points at, like the reference's tabix subprocess
+        # (vcfChromTransfer.py:17-26)
+        from ..io import tabix as T
+        idx = T.TabixIndex(tbi)
+        rd = T.BGZFReader(args.vcfFile)
+    else:
+        # no index: one whole-file pass building a per-chrom position index
+        with open_maybe_gz(args.vcfFile, "rt") as vcf:
+            for line in vcf:
+                if line.startswith("#"):
+                    continue
+                tab = line.find("\t")
+                chrom = line[:tab]
+                pos = int(line[tab + 1:line.find("\t", tab + 1)])
+                chrom_lines.setdefault(chrom, []).append(line.rstrip("\n"))
+                chrom_pos.setdefault(chrom, []).append(pos)
     pos_arrays = {c: np.asarray(v) for c, v in chrom_pos.items()}
 
     for t in transfers:
         new_chrom, new_start, new_end, chrom, start, end, strand = t
         region = f"{chrom}:{start}-{end}"
         sys.stderr.write(f"\nGetting region {region} from vcf...\n")
-        if chrom in pos_arrays:
+        if use_index:
+            # match the non-indexed path's semantics exactly: POS within
+            # [start, end] (span-overlapping records starting earlier are
+            # not included)
+            vcf_lines = [ln.decode() for ln in T.region_lines(
+                args.vcfFile, chrom, int(start), int(end),
+                index=idx, reader=rd)
+                if int(ln.split(b"\t", 2)[1]) >= int(start)]
+        elif chrom in pos_arrays:
             pa = pos_arrays[chrom]
             lo = int(np.searchsorted(pa, int(start), side="left"))
             hi = int(np.searchsorted(pa, int(end), side="right"))

@@ -114,6 +114,14 @@ def get_lib():
     except AttributeError:
         pass
     try:
+        lib.site_pop_counts_host.restype = None
+        lib.site_pop_counts_host.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8, flags="C"), ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint16, flags="C")]
+    except AttributeError:
+        pass
+    try:
         lib.pairwise_window_counts.restype = None
         lib.pairwise_window_counts.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -396,6 +404,28 @@ def pairwise_window_counts_native(called: np.ndarray, alt: np.ndarray,
         np.ascontiguousarray(first, dtype=np.int64),
         np.ascontiguousarray(n_sites, dtype=np.int64), np.int64(W), m, s)
     return m, s
+
+
+def site_pop_counts_host_native(alleles: np.ndarray,
+                                membership: np.ndarray) -> np.ndarray | None:
+    """C per-site per-mask allele counts: membership is a uint8 [H] bitmask
+    of the (<= 8) masks each row belongs to.  Returns uint16
+    [S, n_masks, 4] or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "site_pop_counts_host"):
+        return None
+    H, S = alleles.shape
+    if alleles.strides[1] != 1:
+        alleles = np.ascontiguousarray(alleles)
+    n_masks = int(membership.max()).bit_length() if membership.size else 1
+    n_masks = max(n_masks, 1)
+    counts = np.empty((S, n_masks, 4), dtype=np.uint16)
+    lib.site_pop_counts_host(
+        alleles.ctypes.data_as(ctypes.c_void_p), np.int64(H),
+        np.int64(alleles.strides[0]), np.int64(S),
+        np.ascontiguousarray(membership, dtype=np.uint8),
+        np.int32(n_masks), counts)
+    return counts
 
 
 def class_prefix_sums_native(cls: np.ndarray):

@@ -1,0 +1,387 @@
+"""Minimal .tbi (tabix) index: reader, region access, and indexer.
+
+The reference toolchain leans on the external ``tabix`` binary for region
+random access into bgzip'd VCF/geno files (parseVCFs.py:27-35,
+vcfChromTransfer.py:17-26, extractCDSAlignments.py:12-20).  This module is
+the host-side native equivalent:
+
+* :class:`TabixIndex` parses the ``.tbi`` binary format (SAM/tabix spec:
+  BGZF-compressed, magic ``TBI\\1``, R-tree bins + 16 kb linear index);
+* :func:`region_lines` reads ONLY the BGZF blocks overlapping a query —
+  a small-region query against a 100 GB file touches a few 64 KB blocks,
+  not the whole file (``bytes_read`` is instrumented for exactly that
+  assertion);
+* :func:`build_index` / :func:`bgzip_file` produce spec-conforming
+  ``.tbi`` + BGZF files for position-sorted tab-separated text (VCF or
+  .geno presets), so indexes can be created without htslib.
+
+Virtual offsets are ``(compressed_block_offset << 16) | within_block``.
+Only the common presets needed by the CLIs are implemented: records whose
+begin column is a 1-based position (VCF, .geno) with the record span
+taken as [pos, pos + len(ref) - 1] for VCF (col_end == 0) or [pos, pos]
+for generic single-position rows.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+from .bam import bgzf_compress
+
+TBI_MAGIC = b"TBI\x01"
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+
+# --------------------------------------------------------------- binning
+
+def reg2bin(beg: int, end: int) -> int:
+    """Bin of a [beg, end) zero-based interval (tabix/UCSC scheme)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def reg2bins(beg: int, end: int) -> list[int]:
+    """All bins overlapping a [beg, end) zero-based interval."""
+    bins = [0]
+    end -= 1
+    for shift, off in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(off + (beg >> shift), off + (end >> shift) + 1))
+    return bins
+
+
+# ------------------------------------------------------------ BGZF access
+
+class BGZFReader:
+    """Random-access BGZF block reader with byte accounting."""
+
+    def __init__(self, path: str):
+        self.f = open(path, "rb")
+        self.bytes_read = 0
+
+    def close(self):
+        self.f.close()
+
+    def block_at(self, coffset: int) -> tuple[bytes, int]:
+        """Decompress the block starting at compressed offset ``coffset``;
+        returns (payload, next_coffset)."""
+        self.f.seek(coffset)
+        head = self.f.read(18)
+        self.bytes_read += len(head)
+        if len(head) < 18 or head[:4] != b"\x1f\x8b\x08\x04":
+            raise ValueError(f"not a BGZF block at offset {coffset}")
+        xlen = struct.unpack("<H", head[10:12])[0]
+        extra = head[12:18] + self.f.read(xlen - 6)
+        self.bytes_read += max(0, xlen - 6)
+        bsize = None
+        i = 0
+        while i + 4 <= len(extra):
+            si1, si2, slen = extra[i], extra[i + 1], \
+                struct.unpack("<H", extra[i + 2:i + 4])[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack("<H", extra[i + 4:i + 6])[0] + 1
+            i += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block without BC subfield")
+        body = self.f.read(bsize - 12 - xlen)
+        self.bytes_read += len(body)
+        payload = zlib.decompress(body[:-8], -15)
+        return payload, coffset + bsize
+
+
+# ------------------------------------------------------------- the index
+
+@dataclass
+class _Ref:
+    bins: dict = field(default_factory=dict)     # bin -> [(u, v) chunks]
+    ioff: list = field(default_factory=list)     # 16 kb linear index
+
+
+class TabixIndex:
+    """Parsed ``.tbi``: header presets + per-reference bins/linear index."""
+
+    def __init__(self, tbi_path: str):
+        from .bam import bgzf_blocks
+        with open(tbi_path, "rb") as f:
+            raw = b"".join(bgzf_blocks(f.read()))
+        if raw[:4] != TBI_MAGIC:
+            raise ValueError("not a .tbi index")
+        (n_ref, self.format, self.col_seq, self.col_beg, self.col_end,
+         self.meta, self.skip, l_nm) = struct.unpack("<8i", raw[4:36])
+        names = raw[36:36 + l_nm].split(b"\x00")[:n_ref]
+        self.names = [n.decode() for n in names]
+        self.ref_id = {n: i for i, n in enumerate(self.names)}
+        off = 36 + l_nm
+        self.refs: list[_Ref] = []
+        for _ in range(n_ref):
+            r = _Ref()
+            (n_bin,) = struct.unpack("<i", raw[off:off + 4])
+            off += 4
+            for _ in range(n_bin):
+                b, n_chunk = struct.unpack("<Ii", raw[off:off + 8])
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    u, v = struct.unpack("<QQ", raw[off:off + 16])
+                    off += 16
+                    chunks.append((u, v))
+                r.bins[b] = chunks
+            (n_intv,) = struct.unpack("<i", raw[off:off + 4])
+            off += 4
+            r.ioff = list(struct.unpack(f"<{n_intv}Q", raw[off:off + 8 * n_intv]))
+            off += 8 * n_intv
+            self.refs.append(r)
+
+    def chunks(self, chrom: str, beg0: int, end0: int) -> list[tuple[int, int]]:
+        """Merged candidate (virtual-offset) chunks for a zero-based
+        [beg0, end0) query."""
+        rid = self.ref_id.get(chrom)
+        if rid is None:
+            return []
+        ref = self.refs[rid]
+        min_off = 0
+        if ref.ioff:
+            k = min(beg0 >> 14, len(ref.ioff) - 1)
+            min_off = ref.ioff[k]
+        out = []
+        for b in reg2bins(beg0, end0):
+            for u, v in ref.bins.get(b, ()):
+                if v > min_off:
+                    out.append((max(u, min_off), v))
+        out.sort()
+        merged: list[list[int]] = []
+        for u, v in out:
+            if merged and u <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], v)
+            else:
+                merged.append([u, v])
+        return [(u, v) for u, v in merged]
+
+
+def region_lines(data_path: str, chrom: str, start: int, end: int,
+                 tbi_path: str | None = None,
+                 reader: BGZFReader | None = None,
+                 index: TabixIndex | None = None):
+    """Yield raw text lines of records overlapping ``chrom:start-end``
+    (1-based inclusive, tabix semantics), reading only the BGZF blocks the
+    index points at.  Pass a shared ``reader`` to accumulate byte
+    accounting across queries."""
+    idx = index if index is not None else TabixIndex(
+        tbi_path if tbi_path is not None else data_path + ".tbi")
+    own = reader is None
+    rd = reader if reader is not None else BGZFReader(data_path)
+    beg0, end0 = start - 1, end
+
+    def in_region(ln: bytes):
+        """None = skip, False = past the region (stop), bytes = yield."""
+        if not ln or ln.startswith(b"#"):
+            return None
+        fields = ln.split(b"\t")
+        if fields[idx.col_seq - 1].decode() != chrom:
+            return None
+        p = int(fields[idx.col_beg - 1])
+        if p > end:
+            return False
+        if idx.col_end > 0:
+            rec_end = int(fields[idx.col_end - 1])
+        elif idx.format & 0xFFFF == 2 and len(fields) > 3:
+            rec_end = p + len(fields[3]) - 1          # VCF: REF span
+        else:
+            rec_end = p
+        return ln if rec_end >= start else None
+
+    try:
+        chunks = idx.chunks(chrom, beg0, end0)
+        if not chunks:
+            return
+        # one linear sweep over [first chunk start, last chunk end]: the
+        # binning scheme guarantees every overlapping record lies inside
+        # SOME candidate chunk, and records between chunks filter out
+        # positionally — simpler than per-chunk reads and never duplicates
+        u, v = chunks[0][0], chunks[-1][1]
+        pos, uoff = u >> 16, u & 0xFFFF
+        v_coff = v >> 16
+        buf = b""
+        first = True
+        while True:
+            try:
+                payload, nxt = rd.block_at(pos)
+            except ValueError:
+                # chunk end voff can point past the EOF marker (last
+                # record of the file): flush the carried tail and stop
+                for ln in buf.split(b"\n"):
+                    r = in_region(ln)
+                    if r is False:
+                        return
+                    if r is not None:
+                        yield r
+                return
+            if first:
+                payload = payload[uoff:]
+                first = False
+            last = pos >= v_coff
+            buf += payload
+            lines = buf.split(b"\n")
+            buf = lines.pop()
+            for ln in lines:
+                r = in_region(ln)
+                if r is False:
+                    return
+                if r is not None:
+                    yield r
+            if last:
+                # a record starting before v may continue into the next
+                # block (spec permits line-spanning blocks): complete just
+                # that one line
+                if buf:
+                    try:
+                        payload, _ = rd.block_at(nxt)
+                    except ValueError:
+                        payload = b""
+                    ln = (buf + payload).split(b"\n")[0]
+                    r = in_region(ln)
+                    if r not in (None, False):
+                        yield r
+                return
+            pos = nxt
+    finally:
+        if own:
+            rd.close()
+
+
+# -------------------------------------------------------------- indexing
+
+def bgzip_file(src_path: str, dst_path: str, block_payload: int = 0xFF00):
+    """Re-compress a text file (plain or gzip) into BGZF blocks."""
+    from .geno import open_maybe_gz
+    with open_maybe_gz(src_path, "rb") as f, open(dst_path, "wb") as out:
+        while True:
+            chunk = f.read(block_payload)
+            if not chunk:
+                break
+            out.write(bgzf_compress(chunk))
+        out.write(BGZF_EOF)
+
+
+def build_index(data_path: str, preset: str = "vcf",
+                tbi_path: str | None = None) -> str:
+    """Create ``{data_path}.tbi`` for a position-sorted BGZF text file.
+
+    preset 'vcf': seq col 1, begin col 2, record span [pos, pos+len(REF)-1];
+    preset 'geno'/'generic': seq col 1, begin col 2, span [pos, pos].
+    """
+    fmt = 2 if preset == "vcf" else 0
+    col_seq, col_beg, col_end = 1, 2, 0
+    rd = BGZFReader(data_path)
+    refs: list[_Ref] = []
+    names: list[str] = []
+
+    def rec_span(fields):
+        p = int(fields[col_beg - 1])
+        if fmt == 2 and len(fields) > 3:
+            return p - 1, p - 1 + len(fields[3])
+        return p - 1, p
+
+    # stream blocks, tracking each line's starting virtual offset.  The
+    # carry (an incomplete trailing line) never contains a newline, so
+    # only the FIRST line of a block can start inside it; every later line
+    # starts at a payload offset (<= 65535, exactly the 16-bit uoffset).
+    pending = []                    # (name, beg0, end0, voff_start)
+    coff = 0
+    carry = b""
+    carry_voff = 0
+    try:
+        while True:
+            try:
+                payload, nxt = rd.block_at(coff)
+            except ValueError:
+                break
+            if not payload:                      # EOF marker block
+                coff = nxt
+                continue
+            base = coff << 16
+            data = carry + payload
+            voff = carry_voff if carry else base
+            i = 0
+            while True:
+                j = data.find(b"\n", i)
+                if j < 0:
+                    break
+                ln = data[i:j]
+                if ln and not ln.startswith(b"#"):
+                    fields = ln.split(b"\t")
+                    name = fields[col_seq - 1].decode()
+                    beg0, end0 = rec_span(fields)
+                    pending.append((name, beg0, end0, voff))
+                i = j + 1
+                voff = base | (i - len(carry))
+            carry = data[i:]
+            carry_voff = voff
+            coff = nxt
+    finally:
+        rd.close()
+
+    # assign end-voffs (next record's start; last record -> EOF voff)
+    eof_voff = (coff << 16)
+    for k, (name, beg0, end0, u) in enumerate(pending):
+        v = pending[k + 1][3] if k + 1 < len(pending) else eof_voff
+        if name not in names:
+            names.append(name)
+            refs.append(_Ref())
+        r = refs[names.index(name)]
+        b = reg2bin(beg0, end0)
+        chunks = r.bins.setdefault(b, [])
+        if chunks and chunks[-1][1] == u:
+            chunks[-1] = (chunks[-1][0], v)
+        else:
+            chunks.append((u, v))
+        k16 = beg0 >> 14
+        while len(r.ioff) <= k16:
+            r.ioff.append(0)
+        if r.ioff[k16] == 0:
+            r.ioff[k16] = u
+
+    # fill linear-index gaps with the previous value (spec behavior)
+    for r in refs:
+        prev = 0
+        for k in range(len(r.ioff)):
+            if r.ioff[k] == 0:
+                r.ioff[k] = prev
+            else:
+                prev = r.ioff[k]
+
+    nm_blob = b"".join(n.encode() + b"\x00" for n in names)
+    out = bytearray()
+    out += TBI_MAGIC
+    out += struct.pack("<8i", len(names), fmt, col_seq, col_beg, col_end,
+                       ord("#"), 0, len(nm_blob))
+    out += nm_blob
+    for r in refs:
+        out += struct.pack("<i", len(r.bins))
+        for b in sorted(r.bins):
+            chunks = r.bins[b]
+            out += struct.pack("<Ii", b, len(chunks))
+            for u, v in chunks:
+                out += struct.pack("<QQ", u, v)
+        out += struct.pack("<i", len(r.ioff))
+        out += struct.pack(f"<{len(r.ioff)}Q", *r.ioff)
+
+    dst = tbi_path or data_path + ".tbi"
+    with open(dst, "wb") as f:
+        payload = bytes(out)
+        for i in range(0, len(payload), 0xFF00):
+            f.write(bgzf_compress(payload[i:i + 0xFF00]))
+        f.write(BGZF_EOF)
+    return dst

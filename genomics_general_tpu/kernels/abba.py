@@ -251,6 +251,125 @@ class AbbaSumsHandle:
         return np.asarray(self.pending)[:self.W]
 
 
+def host_window_abba_sums(alleles: np.ndarray, first: np.ndarray,
+                          n_sites: np.ndarray, membership: np.ndarray,
+                          n_pops, min_data: float, mode: str,
+                          full: bool) -> np.ndarray:
+    """Host executor for the fused ABBA window reduction: same [W, K]
+    float64 sums as :func:`fused_abba_flush`, computed with C per-site pop
+    counts + numpy float64 terms on gate-compacted sites — zero device
+    transfers (the device wire is O(sites * haplotypes) and dominates on a
+    degraded link; host cost is O(sites * pop_sizes) count increments).
+
+    ``membership``: uint8 [H] bitmask (bits 0-3 = P1..P4, bit 4 = union).
+    Formula expressions mirror :func:`_site_terms` literally — float64
+    elementwise ops are correctly rounded, so per-site terms are identical;
+    only the per-window summation tree can differ by ulps (sequential numpy
+    sums here, which for windows under numpy's 128-element pairwise block
+    ARE np.sum's order)."""
+    import os
+
+    from ..io import native
+    S = alleles.shape[1]
+    W = first.shape[0]
+    K = len(FULL_CHANNELS) if full else len(CLASSIC_CHANNELS)
+    counts = None
+    if os.environ.get("GGT_NO_NATIVE_PARSER") != "1":
+        counts = native.site_pop_counts_host_native(alleles, membership)
+    if counts is None:
+        counts = np.zeros((S, 5, 4), np.int32)
+        for p in range(5):
+            sub = alleles[np.flatnonzero(membership & (1 << p))]
+            for c in range(4):
+                counts[:, p, c] = (sub == c).sum(axis=0)
+    counts = counts.astype(np.float64)
+    nonmiss = counts.sum(axis=2)                      # [S, 5]
+    biallelic = (counts[:, 4, :] > 0).sum(axis=1) == 2
+    enough = np.ones(S, dtype=bool)
+    n_pops = np.asarray(n_pops, dtype=np.float64)
+    for k in range(4):
+        enough &= (nonmiss[:, k] / n_pops[k]) >= min_data
+    good = biallelic & enough
+    g = np.flatnonzero(good)
+    terms = np.zeros((g.size, K), np.float64)
+    if g.size:
+        cg = counts[g]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            freqs = cg / nonmiss[g][:, :, None]
+        p1, p2, p3, p4 = (freqs[:, k, :] for k in range(4))
+        ucp = cg[:, 4, :] > 0
+        if mode == "polarize":
+            sel = ucp & (p4 == 0)
+        elif mode == "fixed":
+            sel = (ucp & (p4 == 0)
+                   & ((p1 == 0) | (p1 == 1))
+                   & ((p2 == 0) | (p2 == 1))
+                   & ((p3 == 0) | (p3 == 1)))
+        else:                                         # minor allele
+            mi = np.argsort(freqs[:, 4, :], axis=1)[:, 2]
+            sel = np.zeros((g.size, 4), dtype=bool)
+            sel[np.arange(g.size), mi] = True
+
+        def masked(term):
+            return np.where(sel, term, 0.0)
+
+        with np.errstate(invalid="ignore"):
+            abba = (1 - p1) * p2 * p3 * (1 - p4)
+            baba = p1 * (1 - p2) * p3 * (1 - p4)
+            num_f4 = _f4(p1, p2, p3, p4)
+            pd = p2 * (p2 > p3) + p3 * (p3 >= p2)
+            den_fd = _f4(p1, pd, pd, p4)
+            a = p3 > p1
+            b = p3 > p2
+            x = p1 > p2
+            y = ~x
+            pdm1 = p3 * (x & a) + p1 * (~(x & a))
+            pdm2 = p3 * (y & b) + p2 * (~(y & b))
+            pdm3 = -p3 * (x & a) + p3 * (y & b) - p1 * (x & ~a) \
+                + p2 * (y & ~b)
+            den_fdm = _f4(pdm1, pdm2, pdm3, p4)
+            chans = [np.full((g.size, 4), 0.25),
+                     sel.astype(np.float64),
+                     masked(num_f4), masked(abba + baba), masked(den_fd),
+                     masked(den_fdm), masked(abba), masked(baba)]
+            if full:
+                num_f4c = _f4c(p1, p2, p3, p4)
+                t11 = _f4c(p1, p3, p3, p4)
+                t12 = _f4c(p4, p2, p3, p4)
+                t21 = _f4c(p3, p2, p3, p4)
+                t22 = _f4c(p1, p4, p3, p4)
+                den_fdh = np.maximum(np.maximum(t11, t12),
+                                     np.maximum(t21, t22))
+                t31 = _f4c(p1, p2, p2, p4)
+                t32 = _f4c(p1, p2, p3, p1)
+                t41 = _f4c(p1, p2, p1, p4)
+                t42 = _f4c(p1, p2, p3, p2)
+                den_fdh2 = np.maximum(den_fdh,
+                                      np.maximum(np.maximum(t31, t32),
+                                                 np.maximum(t41, t42)))
+                t1 = np.abs(p1 - p2)
+                t2 = np.abs(p3 - p4)
+                den_fh = (t1 * (t1 > t2) + t2 * (t2 >= t1)) ** 2
+                abaa = (1 - p1) * p2 * (1 - p3) * (1 - p4)
+                baaa = p1 * (1 - p2) * (1 - p3) * (1 - p4)
+                den_fdm_new = _f4c(pdm1, pdm2, pdm3, p4)
+                chans += [masked(num_f4c), masked(_f4(p1, p3, p3, p4)),
+                          masked(_f4c(p1, p3, p3, p4)),
+                          masked(_f4c(p1, pd, pd, p4)),
+                          masked(den_fdm_new), masked(den_fdh),
+                          masked(den_fdh2), masked(den_fh), masked(abaa),
+                          masked(baaa)]
+            terms = np.stack([c.sum(axis=1) for c in chans], axis=1)
+
+    out = np.zeros((W, K), np.float64)
+    e0 = np.searchsorted(g, first)
+    e1 = np.searchsorted(g, first + n_sites)
+    for w in range(W):
+        if e1[w] > e0[w]:
+            out[w] = terms[e0[w]:e1[w]].sum(axis=0)
+    return out
+
+
 def window_abba_sums_dispatch(alleles: np.ndarray, first: np.ndarray,
                               n_sites: np.ndarray, pop_mask: np.ndarray,
                               n_pops, min_data: float, mode: str,
@@ -265,6 +384,16 @@ def window_abba_sums_dispatch(alleles: np.ndarray, first: np.ndarray,
     H = alleles.shape[0]
     if W == 0 or H == 0:
         return AbbaSumsHandle(W, channels, None)
+    if mesh is None and isinstance(alleles, np.ndarray):
+        from .pairdist import _exec_choice
+        if _exec_choice(H) == "host":
+            membership = ((pop_mask[:4] > 0).astype(np.uint8)
+                          * (1 << np.arange(4, dtype=np.uint8))[:, None]
+                          ).sum(axis=0).astype(np.uint8)
+            membership |= (pop_mask[4] > 0).astype(np.uint8) << 4
+            return AbbaSumsHandle(W, channels, host_window_abba_sums(
+                alleles, first, n_sites, membership, n_pops, min_data,
+                mode, full))
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     wp = max(8, n_dev)
     while wp < W:

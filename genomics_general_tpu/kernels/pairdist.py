@@ -91,6 +91,13 @@ def long_span_pair_counts(alleles_dev, first: int, last: int,
     """Pairwise counts over one very long span (e.g. distMat --windType cat):
     stream site blocks through the batched kernel and accumulate on host.
     Avoids the reference's materialize-the-genome RAM cliff (README.md:214)."""
+    if isinstance(alleles_dev, np.ndarray) \
+            and _exec_choice(alleles_dev.shape[0]) == "host" \
+            and _host_available():
+        span = np.ascontiguousarray(alleles_dev[:, first:last])
+        m, s = _host_flush_counts(span, np.array([0], np.int64),
+                                  np.array([last - first], np.int64))
+        return m[0].astype(np.int64), s[0].astype(np.int64)
     if isinstance(alleles_dev, np.ndarray):
         alleles_dev = transfer.device_alleles(alleles_dev)
     H = alleles_dev.shape[0]
@@ -129,6 +136,12 @@ class CatPairAccumulator:
     def _launch(self, arr: np.ndarray):
         self._collect()
         S = arr.shape[1]
+        if _exec_choice(self.H) == "host" and _host_available():
+            m, s = _host_flush_counts(arr, np.array([0], np.int64),
+                                      np.array([S], np.int64))
+            self.mism += m[0].astype(np.int64)
+            self.shar += s[0].astype(np.int64)
+            return
         sp = 1 << 10
         while sp < S:
             sp <<= 1

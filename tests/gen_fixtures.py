@@ -135,9 +135,20 @@ def simulate_vcf(path: Path, n_samples=6, seed=19,
                 dup = cols[:]
                 dup[4] = rng.choice([b for b in bases if b != ref])
                 lines.append("\t".join(dup))
-    opener = gzip.open if str(path).endswith(".gz") else open
-    with opener(path, "wt") as f:
-        f.write("\n".join(lines) + "\n")
+    data = ("\n".join(lines) + "\n").encode()
+    if str(path).endswith(".gz"):
+        # multi-member gzip (~4 MB/member) — the shape of real-world
+        # bgzip'd VCFs: readable by any gzip consumer, and lets the native
+        # reader decompress members one-shot (libdeflate) instead of
+        # streaming one giant member
+        step = 4 << 20
+        with open(path, "wb") as f:
+            for i in range(0, len(data), step):
+                f.write(gzip.compress(data[i:i + step],
+                                      compresslevel=4, mtime=0))
+    else:
+        with open(path, "wb") as f:
+            f.write(data)
     return samples
 
 

@@ -63,3 +63,22 @@ def test_vcf_chrom_transfer_oracle(tmp_path):
             want.append("\t".join(f))
     got = Path(out).read_text().rstrip("\n").split("\n")
     assert got == want
+
+
+def test_vcf_chrom_transfer_indexed_matches_streamed(tmp_path):
+    """With a native .tbi next to a BGZF input, vcfChromTransfer uses
+    random access (io/tabix) and must produce byte-identical output to the
+    whole-file pass."""
+    from genomics_general_tpu.io import tabix as T
+    vcf = G / "g2v_basic.vcf"
+    streamed = str(tmp_path / "streamed.vcf")
+    run_cli("genomics_general_tpu.cli.vcf_chrom_transfer",
+            ["-v", str(vcf), "-t", TRANS, "-o", streamed])
+
+    bgz = tmp_path / "in.vcf.gz"
+    T.bgzip_file(str(vcf), str(bgz), block_payload=512)   # many tiny blocks
+    T.build_index(str(bgz), preset="vcf")
+    indexed = str(tmp_path / "indexed.vcf")
+    run_cli("genomics_general_tpu.cli.vcf_chrom_transfer",
+            ["-v", str(bgz), "-t", TRANS, "-o", indexed])
+    assert Path(streamed).read_bytes() == Path(indexed).read_bytes()

@@ -381,3 +381,39 @@ def test_two_process_freq_incremental_gather(tmp_path):
     # with one 2-scaffold input and G=1, each host held at most 1 scaffold
     assert len(peaks) == 2
     assert max(peaks) < single.stat().st_size
+
+
+def test_two_process_filter_genotypes_incremental_gather(tmp_path):
+    """filter_genotypes is a genome-scale per-site output like freq: with
+    GGT_GATHER_SCAFS=1 host 0 writes scaffold groups while hosts still
+    stream, output stays byte-identical to 1-process, and per-host peak
+    buffered bytes stay below the output size."""
+    argv = lambda out: [  # noqa: E731
+        sys.executable, "-m", "genomics_general_tpu.cli.filter_genotypes",
+        "-i", str(D / "sim1.geno.gz"), "--inputGenoFormat", "phased",
+        "--outputGenoFormat", "phased", "--minCalls", "12",
+        "--minAlleles", "2", "-o", out]
+
+    single = tmp_path / "single.geno"
+    r = subprocess.run(argv(str(single)), env=_clean_env({}),
+                       capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    dist = tmp_path / "dist.geno"
+    port = _free_port()
+    procs = [subprocess.Popen(
+        argv(str(dist)),
+        env=_clean_env({"GGT_COORDINATOR": f"127.0.0.1:{port}",
+                        "GGT_NUM_PROCS": "2", "GGT_PROC_ID": str(pid),
+                        "GGT_GATHER_SCAFS": "1", "GGT_GATHER_DEBUG": "1"}),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE) for pid in range(2)]
+    peaks = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+        for ln in err.decode().splitlines():
+            if "[gather]" in ln:
+                peaks.append(int(ln.split()[-2]))
+    assert dist.read_bytes() == single.read_bytes()
+    assert len(peaks) == 2
+    assert max(peaks) < single.stat().st_size
