@@ -291,32 +291,40 @@ def host_window_abba_sums(alleles: np.ndarray, first: np.ndarray,
         enough &= (nonmiss[:, k] / n_pops[k]) >= min_data
     good = biallelic & enough
     g = np.flatnonzero(good)
-    terms = np.zeros((g.size, K), np.float64)
+    # selection on [Sg, 4], then FLATTEN to the selected (site, allele)
+    # pair list: every term below runs on 1-D [E] arrays (typically ~1
+    # pair/site), which cuts the elementwise-temporary traffic ~4x vs
+    # computing all 4 allele columns and masking — this stage is memory-
+    # bandwidth-bound on the host
+    terms = np.zeros((0, K - 2), np.float64)
+    si = np.zeros(0, np.int64)
     if g.size:
         cg = counts[g]
         with np.errstate(invalid="ignore", divide="ignore"):
             freqs = cg / nonmiss[g][:, :, None]
-        p1, p2, p3, p4 = (freqs[:, k, :] for k in range(4))
         ucp = cg[:, 4, :] > 0
+        P1, P2, P3, P4 = (freqs[:, k, :] for k in range(4))
         if mode == "polarize":
-            sel = ucp & (p4 == 0)
+            sel = ucp & (P4 == 0)
         elif mode == "fixed":
-            sel = (ucp & (p4 == 0)
-                   & ((p1 == 0) | (p1 == 1))
-                   & ((p2 == 0) | (p2 == 1))
-                   & ((p3 == 0) | (p3 == 1)))
+            sel = (ucp & (P4 == 0)
+                   & ((P1 == 0) | (P1 == 1))
+                   & ((P2 == 0) | (P2 == 1))
+                   & ((P3 == 0) | (P3 == 1)))
         else:                                         # minor allele
             mi = np.argsort(freqs[:, 4, :], axis=1)[:, 2]
             sel = np.zeros((g.size, 4), dtype=bool)
             sel[np.arange(g.size), mi] = True
-
-        def masked(term):
-            return np.where(sel, term, 0.0)
-
+        si, ai = np.nonzero(sel)                      # sorted by site
+        p1 = P1[si, ai]
+        p2 = P2[si, ai]
+        p3 = P3[si, ai]
+        p4 = P4[si, ai]
         with np.errstate(invalid="ignore"):
-            abba = (1 - p1) * p2 * p3 * (1 - p4)
-            baba = p1 * (1 - p2) * p3 * (1 - p4)
-            num_f4 = _f4(p1, p2, p3, p4)
+            q1, q2, q3, q4 = 1 - p1, 1 - p2, 1 - p3, 1 - p4
+            abba = q1 * p2 * p3 * q4
+            baba = p1 * q2 * p3 * q4
+            num_f4 = abba - baba                      # == _f4(p1,p2,p3,p4)
             pd = p2 * (p2 > p3) + p3 * (p3 >= p2)
             den_fd = _f4(p1, pd, pd, p4)
             a = p3 > p1
@@ -328,10 +336,7 @@ def host_window_abba_sums(alleles: np.ndarray, first: np.ndarray,
             pdm3 = -p3 * (x & a) + p3 * (y & b) - p1 * (x & ~a) \
                 + p2 * (y & ~b)
             den_fdm = _f4(pdm1, pdm2, pdm3, p4)
-            chans = [np.full((g.size, 4), 0.25),
-                     sel.astype(np.float64),
-                     masked(num_f4), masked(abba + baba), masked(den_fd),
-                     masked(den_fdm), masked(abba), masked(baba)]
+            chans = [num_f4, abba + baba, den_fd, den_fdm, abba, baba]
             if full:
                 num_f4c = _f4c(p1, p2, p3, p4)
                 t11 = _f4c(p1, p3, p3, p4)
@@ -350,23 +355,27 @@ def host_window_abba_sums(alleles: np.ndarray, first: np.ndarray,
                 t1 = np.abs(p1 - p2)
                 t2 = np.abs(p3 - p4)
                 den_fh = (t1 * (t1 > t2) + t2 * (t2 >= t1)) ** 2
-                abaa = (1 - p1) * p2 * (1 - p3) * (1 - p4)
-                baaa = p1 * (1 - p2) * (1 - p3) * (1 - p4)
+                abaa = q1 * p2 * q3 * q4
+                baaa = p1 * q2 * q3 * q4
                 den_fdm_new = _f4c(pdm1, pdm2, pdm3, p4)
-                chans += [masked(num_f4c), masked(_f4(p1, p3, p3, p4)),
-                          masked(_f4c(p1, p3, p3, p4)),
-                          masked(_f4c(p1, pd, pd, p4)),
-                          masked(den_fdm_new), masked(den_fdh),
-                          masked(den_fdh2), masked(den_fh), masked(abaa),
-                          masked(baaa)]
-            terms = np.stack([c.sum(axis=1) for c in chans], axis=1)
+                chans += [num_f4c, _f4(p1, p3, p3, p4),
+                          _f4c(p1, p3, p3, p4), _f4c(p1, pd, pd, p4),
+                          den_fdm_new, den_fdh, den_fdh2, den_fh,
+                          abaa, baaa]
+            terms = np.stack(chans, axis=1)           # [E, K-2]
 
     out = np.zeros((W, K), np.float64)
-    e0 = np.searchsorted(g, first)
-    e1 = np.searchsorted(g, first + n_sites)
+    last = first + n_sites
+    e0 = np.searchsorted(g, first)                    # gated sites / window
+    e1 = np.searchsorted(g, last)
+    pair_site = g[si]                                 # [E] global site index
+    ee0 = np.searchsorted(pair_site, first)
+    ee1 = np.searchsorted(pair_site, last)
+    out[:, 0] = e1 - e0                               # "good"
+    out[:, 1] = ee1 - ee0                             # "used"
     for w in range(W):
-        if e1[w] > e0[w]:
-            out[w] = terms[e0[w]:e1[w]].sum(axis=0)
+        if ee1[w] > ee0[w]:
+            out[w, 2:] = terms[ee0[w]:ee1[w]].sum(axis=0)
     return out
 
 
