@@ -63,6 +63,40 @@ class GenoRegionIndex:
         return [(int(pa[i]), self.rows[chrom][i]) for i in range(lo, hi)]
 
 
+class TabixGenoRegionIndex:
+    """Random-access variant of :class:`GenoRegionIndex` for BGZF geno
+    files with a native ``.tbi`` alongside (io/tabix): each CDS region
+    reads only the blocks the index points at instead of holding the whole
+    genome in memory — the reference's tabix workflow
+    (extractCDSAlignments.py:12-20) without the subprocess."""
+
+    def __init__(self, path, samples=None):
+        from ..io import tabix as T
+        self._T = T
+        self.path = path
+        self.idx = T.TabixIndex(path + ".tbi")
+        self.rd = T.BGZFReader(path)
+        # header line = start of the first block
+        payload, _ = self.rd.block_at(0)
+        header = payload.split(b"\n", 1)[0].decode().split()
+        all_names = header[2:]
+        if samples:
+            self.cols = [all_names.index(s) + 2 for s in samples]
+            self.names = list(samples)
+        else:
+            self.cols = list(range(2, len(header)))
+            self.names = all_names
+
+    def in_region(self, chrom, start, end):
+        out = []
+        for ln in self._T.region_lines(self.path, chrom, int(start),
+                                       int(end), index=self.idx,
+                                       reader=self.rd):
+            p = ln.decode().split()
+            out.append((int(p[1]), [p[c] for c in self.cols]))
+        return out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="extractCDSAlignments")
     p.add_argument("--annotation", action="store", required=True)
@@ -123,7 +157,10 @@ def main(argv=None) -> int:
         gene_data = new_data
 
     out = open_out(args.outFile)
-    index = GenoRegionIndex(args.genoFile, samples=args.samples)
+    import os as _os
+    index = TabixGenoRegionIndex(args.genoFile, samples=args.samples) \
+        if _os.path.exists(args.genoFile + ".tbi") \
+        else GenoRegionIndex(args.genoFile, samples=args.samples)
     ploidy = args.ploidy if isinstance(args.ploidy, list) else [args.ploidy]
     if args.split:
         out_base_names = make_haploid_names(index.names, ploidy)

@@ -129,6 +129,24 @@ def site_pop_counts_dispatch(alleles, pop_mask: np.ndarray,
     handle = SitePopCountsHandle(S, P, [])
     if S == 0:
         return handle
+    if isinstance(alleles, np.ndarray) and mesh is None and P <= 8:
+        # adaptive executor (same policy as kernels/pairdist): small-cohort
+        # counting is one C pass over the span with zero device transfers —
+        # the O(sites) count fetch rode a link whose bandwidth varies 40x
+        from .pairdist import _exec_choice
+        if _exec_choice(H) == "host":
+            from ..io import native
+            membership = np.zeros(H, dtype=np.uint8)
+            for p in range(P):
+                membership[np.asarray(pop_mask[p]) > 0] |= 1 << p
+            c = native.site_pop_counts_host_native(alleles, membership)
+            if c is not None:
+                if c.shape[1] < P:       # trailing all-empty masks
+                    c = np.concatenate(
+                        [c, np.zeros((S, P - c.shape[1], 4), c.dtype)],
+                        axis=1)
+                handle.pending.append((0, S, c[:, :P].astype(np.int32)))
+                return handle
     if isinstance(alleles, np.ndarray):
         from . import transfer
         alleles = transfer.upload_span(alleles, mesh=mesh)

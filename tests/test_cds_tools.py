@@ -75,3 +75,16 @@ def test_parse_vcfs_intersect_vs_reference(tmp_path):
             ["-i", str(D / "sim1.vcf.gz"), "-i", str(D / "sim2.vcf.gz"),
              "-M", "intersect", "--excludeDuplicates", "-o", out])
     assert_text_equal(G / "vcfs_intersect.geno", out)
+
+
+def test_extract_cds_alignments_indexed_matches_golden(tmp_path):
+    """With a native .tbi alongside a BGZF geno, extraction uses random
+    access (io/tabix) and must reproduce the streamed-path golden."""
+    from genomics_general_tpu.io import tabix as T
+    bgz = tmp_path / "sim1.geno.bgz"
+    T.bgzip_file(str(D / "sim1.geno.gz"), str(bgz), block_payload=2048)
+    T.build_index(str(bgz), preset="geno")
+    out = str(tmp_path / "o.phy")
+    run_cli("genomics_general_tpu.cli.extract_cds_alignments",
+            ["--annotation", str(D / "sim.gff3"), "-g", str(bgz), "-o", out])
+    assert_text_equal(G / "cds_aln.phy", out)

@@ -85,3 +85,67 @@ def test_session_no_trailing_newline(tmp_path, geno_text):
     q = tmp_path / "u.geno.gz"
     q.write_bytes(gzip.compress(data, compresslevel=4, mtime=0))
     _assert_same(full, _read_all(q))
+
+
+def test_parallel_member_chunks_match_sequential(tmp_path):
+    """Opt-in ParallelGzChunks (member-parallel decompress) must serve the
+    identical byte stream as the sequential session, raise on single-member
+    input, and raise (not corrupt) on a damaged member."""
+    import gzip
+
+    import numpy as np
+    import pytest
+
+    from genomics_general_tpu.io.native import (GzChunkStream,
+                                                ParallelGzChunks)
+    parts = []
+    for i in range(7):
+        txt = b"".join(b"line%d_%d\tdatadata\n" % (i, j)
+                       for j in range(200000))
+        parts.append(gzip.compress(txt, compresslevel=1, mtime=0))
+    blob = b"".join(parts)
+
+    def drain(sess):
+        out = []
+        while True:
+            c = sess.next_chunk()
+            if c is None:
+                return b"".join(out)
+            out.append(c.tobytes())
+
+    seq = drain(GzChunkStream(blob, 1 << 20))
+    par = drain(ParallelGzChunks(blob, 1 << 20))
+    assert par == seq
+
+    with pytest.raises(RuntimeError):
+        ParallelGzChunks(gzip.compress(b"x\n" * 3_000_000), 1 << 20)
+
+    bad = bytearray(blob)
+    bad[len(blob) // 2] ^= 0xFF
+    with pytest.raises(RuntimeError):
+        drain(ParallelGzChunks(bytes(bad), 1 << 20))
+
+
+def test_geno_reader_parallel_gz_env(tmp_path):
+    """GGT_GZ_THREADS=2 routes the reader through ParallelGzChunks with
+    identical parsed output."""
+    import subprocess
+    import sys
+
+    from .util import REPO
+    D = REPO / "tests" / "data"
+    out1, out2 = tmp_path / "a.csv", tmp_path / "b.csv"
+    args = [sys.executable, "-m", "genomics_general_tpu.cli.popgen_windows",
+            "-g", str(D / "sim1.geno.gz"), "-f", "phased", "-w", "50000",
+            "-m", "50", "-p", "pop1", "-p", "pop2",
+            "--popsFile", str(D / "sim1.pops.txt")]
+    import os
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(REPO))
+    r1 = subprocess.run(args + ["-o", str(out1)], env=env,
+                        capture_output=True, cwd=REPO)
+    assert r1.returncode == 0, r1.stderr.decode()[-1500:]
+    r2 = subprocess.run(args + ["-o", str(out2)],
+                        env=dict(env, GGT_GZ_THREADS="2"),
+                        capture_output=True, cwd=REPO)
+    assert r2.returncode == 0, r2.stderr.decode()[-1500:]
+    assert out1.read_bytes() == out2.read_bytes()

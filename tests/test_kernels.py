@@ -74,3 +74,29 @@ def test_window_pair_counts_buckets(rng):
                 m = nm[i, sl] & nm[j, sl]
                 assert shar[w, i, j] == m.sum()
                 assert mism[w, i, j] == (a[i, sl][m] != a[j, sl][m]).sum()
+
+
+def test_site_pop_counts_host_executor_matches_device():
+    """GGT_EXEC=host routes site counting through the C pass; counts must
+    equal the device kernel's exactly (overlapping masks included)."""
+    import os
+
+    import numpy as np
+
+    from genomics_general_tpu.kernels import counts as counts_k
+    rng = np.random.default_rng(9)
+    H, S = 14, 3000
+    al = rng.integers(-1, 4, size=(H, S)).astype(np.int8)
+    mask = np.zeros((3, H), np.float32)
+    mask[0, :7] = 1
+    mask[1, 7:] = 1
+    mask[2, :] = 1                      # union overlaps both
+    old = os.environ.get("GGT_EXEC")
+    try:
+        os.environ["GGT_EXEC"] = "tpu"
+        dev = counts_k.site_pop_counts_chunked(al, mask)
+        os.environ["GGT_EXEC"] = "host"
+        host = counts_k.site_pop_counts_chunked(al, mask)
+    finally:
+        os.environ["GGT_EXEC"] = old or "tpu"
+    np.testing.assert_array_equal(host, dev)
