@@ -81,3 +81,22 @@ def test_geno_preset(tmp_path):
            for ln in T.region_lines(str(bgz), "sB", 30000, 30100)]
     assert got == [p for c, p in recs if c == "sB" and 30000 <= p <= 30100]
     assert list(T.region_lines(str(bgz), "sA", 60000, 70000)) == []
+
+
+def test_tabix_index_cli(tmp_path):
+    """bgzip + index via the CLI, then a region query through the reader."""
+    from .util import run_cli
+    lines = ["#CHROM\tPOS\ts1"]
+    for p in range(5, 30000, 11):
+        lines.append(f"sc\t{p}\tA/A")
+    raw = tmp_path / "x.geno"
+    raw.write_text("\n".join(lines) + "\n")
+    bgz = tmp_path / "x.geno.bgz"
+    run_cli("genomics_general_tpu.cli.tabix_index",
+            ["bgzip", str(raw), "-o", str(bgz)])
+    run_cli("genomics_general_tpu.cli.tabix_index",
+            ["index", str(bgz), "--preset", "geno"])
+    assert (tmp_path / "x.geno.bgz.tbi").exists()
+    got = [int(ln.split(b"\t")[1])
+           for ln in T.region_lines(str(bgz), "sc", 1000, 1100)]
+    assert got == [p for p in range(5, 30000, 11) if 1000 <= p <= 1100]
