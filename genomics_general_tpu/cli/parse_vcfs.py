@@ -353,7 +353,11 @@ def _fast_multi(args, head_data, samples_per_file, ploidy_dict, gt_filters,
                 res = native.merge_geno_blocks_native(
                     blocks, sep[0], limit, max_pos, INTERSECT, miss_fill)
                 if res is None:
-                    return False             # should not happen post-gate
+                    # cannot fall back mid-run: the header and earlier rows
+                    # were already written (the eligibility gate makes this
+                    # unreachable; fail loudly rather than corrupt output)
+                    raise RuntimeError(
+                        "native merge became unavailable mid-run")
                 out_data, consumed = res
                 if out_data:
                     out_bin.write(out_data)

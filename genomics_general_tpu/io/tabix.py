@@ -298,7 +298,31 @@ def build_index(data_path: str, preset: str = "vcf",
     # carry (an incomplete trailing line) never contains a newline, so
     # only the FIRST line of a block can start inside it; every later line
     # starts at a payload offset (<= 65535, exactly the 16-bit uoffset).
-    pending = []                    # (name, beg0, end0, voff_start)
+    # A one-record lookahead assigns each record's end voff (= the next
+    # record's start) so memory stays O(references), not O(records).
+    name_idx: dict[str, int] = {}
+    prev = None                    # (name, beg0, end0, voff_start)
+
+    def flush_record(rec, v):
+        name, beg0, end0, u = rec
+        i = name_idx.get(name)
+        if i is None:
+            i = name_idx[name] = len(names)
+            names.append(name)
+            refs.append(_Ref())
+        r = refs[i]
+        b = reg2bin(beg0, end0)
+        chunks = r.bins.setdefault(b, [])
+        if chunks and chunks[-1][1] == u:
+            chunks[-1] = (chunks[-1][0], v)
+        else:
+            chunks.append((u, v))
+        k16 = beg0 >> 14
+        while len(r.ioff) <= k16:
+            r.ioff.append(0)
+        if r.ioff[k16] == 0:
+            r.ioff[k16] = u
+
     coff = 0
     carry = b""
     carry_voff = 0
@@ -324,7 +348,9 @@ def build_index(data_path: str, preset: str = "vcf",
                     fields = ln.split(b"\t")
                     name = fields[col_seq - 1].decode()
                     beg0, end0 = rec_span(fields)
-                    pending.append((name, beg0, end0, voff))
+                    if prev is not None:
+                        flush_record(prev, voff)
+                    prev = (name, beg0, end0, voff)
                 i = j + 1
                 voff = base | (i - len(carry))
             carry = data[i:]
@@ -333,25 +359,8 @@ def build_index(data_path: str, preset: str = "vcf",
     finally:
         rd.close()
 
-    # assign end-voffs (next record's start; last record -> EOF voff)
-    eof_voff = (coff << 16)
-    for k, (name, beg0, end0, u) in enumerate(pending):
-        v = pending[k + 1][3] if k + 1 < len(pending) else eof_voff
-        if name not in names:
-            names.append(name)
-            refs.append(_Ref())
-        r = refs[names.index(name)]
-        b = reg2bin(beg0, end0)
-        chunks = r.bins.setdefault(b, [])
-        if chunks and chunks[-1][1] == u:
-            chunks[-1] = (chunks[-1][0], v)
-        else:
-            chunks.append((u, v))
-        k16 = beg0 >> 14
-        while len(r.ioff) <= k16:
-            r.ioff.append(0)
-        if r.ioff[k16] == 0:
-            r.ioff[k16] = u
+    if prev is not None:
+        flush_record(prev, coff << 16)           # last record -> EOF voff
 
     # fill linear-index gaps with the previous value (spec behavior)
     for r in refs:

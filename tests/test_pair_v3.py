@@ -177,6 +177,36 @@ def test_host_executor_cli_golden(tmp_path):
         (tmp_path / "host.csv").read_bytes()
 
 
+def test_v3_large_H_device_path(rng):
+    """Cohort-scale sanity for the DEVICE path (the auto executor only uses
+    it above the host/device crossover): H=160 haplotypes, v3 vs v2 vs a
+    vectorized numpy oracle."""
+    H, S = 160, 1500
+    a = rng.integers(0, 2, size=(H, S)).astype(np.int8)
+    a[rng.random((H, S)) < 0.08] = -1
+    a[rng.integers(0, H, 5), 700] = 2                       # one exception
+    first = np.array([0, 400, 900], np.int32)
+    n = np.array([500, 500, 600], np.int32)
+
+    def np_oracle(w):
+        sub = a[:, first[w]:first[w] + n[w]].astype(np.int64)
+        called = (sub >= 0).astype(np.float64)
+        s = called @ called.T
+        oh = np.stack([(sub == c) for c in range(4)], axis=-1) \
+            .astype(np.float64)
+        m = s - np.einsum("hsa,gsa->hg", oh, oh)
+        return m.astype(np.int64), s.astype(np.int64)
+
+    m3, s3 = _counts_with_wire(a, first, n, "3")
+    m2, s2 = _counts_with_wire(a, first, n, "2")
+    np.testing.assert_array_equal(m3, m2)
+    np.testing.assert_array_equal(s3, s2)
+    for w in range(3):
+        om, os_ = np_oracle(w)
+        np.testing.assert_array_equal(m3[w], om)
+        np.testing.assert_array_equal(s3[w], os_)
+
+
 def test_v3_multiallelic_exceptions(rng):
     """>2-allele sites ride the exception patch in v3 exactly as in v2."""
     H, S = 10, 400
