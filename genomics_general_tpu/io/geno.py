@@ -174,6 +174,7 @@ class GenoReader:
         self._whole: np.ndarray | None = None
         self._gz_sess = None             # native streaming gz chunker
         self._gz_data: bytes | None = None
+        self._gz_segs = None             # member segments (fused gz path)
         self._gz_served = 0              # decompressed bytes already handed out
         self._sess_leftover: np.ndarray | None = None
         if isinstance(fileobj, str):
@@ -206,6 +207,9 @@ class GenoReader:
                     if self._gz_sess is None:
                         self._gz_sess = GzChunkStream(data, chunk_bytes)
                     self._gz_data = data
+                    if os.environ.get("GGT_FUSED_GZ", "1") != "0":
+                        from .native import scan_gz_members
+                        self._gz_segs = scan_gz_members(data)
                     fileobj = None
                 except Exception:
                     self._gz_sess = None
@@ -610,6 +614,112 @@ class GenoReader:
 
     # ------------------------------------------------------------ drivers
 
+    def _iter_chunks_fused(self, threads: int):
+        """Fused decompress+tokenize over gzip member segments.
+
+        The sequential gz session decompresses on one thread while the
+        tokenizer pool waits; here each worker decompresses ITS segment and
+        tokenizes it immediately while the text is cache-hot — decompress
+        parallelizes without the cold-buffer handoff that made a separate
+        parallel-decompress stage slower.  Segment boundaries come from a
+        magic-byte scan, so a candidate can be false: a segment that fails
+        to decode is MERGED with its successor and retried (nothing has
+        been yielded for it yet), which recovers exactly; true corruption
+        still raises like the sequential path.  Returns None to decline
+        (caller uses the sequential session)."""
+        from .native import decompress_gz_segment
+        segs = list(self._gz_segs)
+        blob = self._gz_data
+        lo = self._sess_leftover
+        # decompressed bytes the header reader already consumed
+        skip = self._gz_served - (int(lo.size) if lo is not None else 0)
+        try:
+            arr0 = decompress_gz_segment(blob, *segs[0])
+        except RuntimeError:
+            return None
+        arr0 = arr0[skip:]
+        nl0 = np.flatnonzero(arr0 == ord("\n"))
+        if nl0.size == 0:
+            return None                   # header-sized first segment: rare
+        body0 = arr0[:int(nl0[-1]) + 1]
+        tail0 = arr0[int(nl0[-1]) + 1:]
+        if not self._ensure_parser(body0):
+            return None                   # no data line yet: keep it simple
+        # committed: the session's remaining state is re-served from the
+        # decompressed offset `skip`
+        self._sess_leftover = None
+        self._gz_sess = None
+
+        def gen():
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            def split3(arr):
+                nl = np.flatnonzero(arr == ord("\n"))
+                if nl.size == 0:
+                    return arr, arr[:0], arr[:0]
+                f, last = int(nl[0]), int(nl[-1])
+                return arr[:f + 1], arr[f + 1:last + 1], arr[last + 1:]
+
+            def job(a, b):
+                arr = decompress_gz_segment(blob, a, b)
+                head, body, tail = split3(arr)
+                raw = self.parse_blob_raw(body) if body.size else None
+                return head, raw, tail
+
+            def emit(raw):
+                if raw is None:
+                    return
+                chunk = self._raw_to_chunk(raw)
+                if chunk.positions.size:
+                    yield chunk
+
+            pool = ThreadPoolExecutor(max_workers=threads)
+            try:
+                yield from emit(self.parse_blob_raw(body0))
+                prev_tail = tail0
+                pending: deque = deque()
+                idx = 1
+                while pending or idx < len(segs):
+                    while idx < len(segs) and len(pending) < threads + 1:
+                        bounds = segs[idx]
+                        pending.append(
+                            (bounds, pool.submit(job, *bounds)))
+                        idx += 1
+                    (a, b), fut = pending.popleft()
+                    try:
+                        head, raw, tail = fut.result()
+                    except RuntimeError:
+                        # false member boundary: merge with the successor
+                        # and retry — nothing of this segment was yielded
+                        if pending:
+                            (a2, b2), fut2 = pending.popleft()
+                            fut2.cancel()
+                            pending.appendleft(
+                                ((a, b2), pool.submit(job, a, b2)))
+                            continue
+                        raise
+                    boundary = np.concatenate([prev_tail, head]) \
+                        if prev_tail.size else head
+                    if boundary.size and boundary[-1] != ord("\n"):
+                        # the whole segment lacked a newline: keep carrying
+                        prev_tail = boundary
+                        continue
+                    if boundary.size:
+                        yield from emit(self.parse_blob_raw(boundary))
+                    yield from emit(raw)
+                    prev_tail = tail
+                if prev_tail.size:
+                    t = prev_tail
+                    if t[-1] != ord("\n"):
+                        t = np.concatenate(
+                            [t, np.array([ord("\n")], np.uint8)])
+                    yield from emit(self.parse_blob_raw(t))
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
+
+        return gen()
+
     def iter_chunks(self, threads: int | None = None):
         """Yield parsed chunks in order.
 
@@ -620,6 +730,12 @@ class GenoReader:
         ordering and id stability are preserved by construction."""
         if threads is None:
             threads = min(4, os.cpu_count() or 1)
+        if threads > 1 and self._gz_segs is not None \
+                and self._gz_sess is not None:
+            gen = self._iter_chunks_fused(threads)
+            if gen is not None:
+                yield from gen
+                return
         # the first blob must be parsed serially: it establishes the
         # genotype-block layout the workers depend on
         blob = self._read_chunk_lines()

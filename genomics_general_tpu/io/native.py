@@ -242,6 +242,53 @@ def get_lib():
     return _lib
 
 
+def scan_gz_members(data: bytes, seg_min: int = 1 << 20):
+    """Candidate gzip member boundaries (magic ``1f 8b 08`` + plausible
+    FLG), grouped into segments of >= ``seg_min`` compressed bytes.
+    Returns a list of (start, end) segment bounds, or None when the blob
+    is not multi-member enough to be worth splitting.  Candidates can be
+    false positives — consumers must be prepared for a segment to fail
+    decoding and merge it with its successor."""
+    d = np.frombuffer(data, dtype=np.uint8)
+    if d.size < 20 or d[0] != 0x1F or d[1] != 0x8B or d[2] != 0x08:
+        return None
+    hits = np.flatnonzero((d[:-3] == 0x1F) & (d[1:-2] == 0x8B)
+                          & (d[2:-1] == 0x08) & (d[3:] < 0x20))
+    bounds = [0]
+    for h in hits[1:]:
+        if h - bounds[-1] >= seg_min:
+            bounds.append(int(h))
+    if len(bounds) < 3:
+        return None
+    bounds.append(len(data))
+    return [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+
+
+def decompress_gz_segment(data: bytes, a: int, b: int) -> np.ndarray:
+    """One-shot decompress of a [a, b) slice holding whole gzip members.
+    Raises RuntimeError on decode failure (e.g. a false-positive boundary)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gzip_decompress"):
+        raise RuntimeError("native gzip_decompress unavailable")
+    import struct
+    seg = data[a:b]
+    # ISIZE only covers the segment's LAST member; size the buffer from the
+    # compressed length (genomic text compresses ~6-9x at bgzip levels) so
+    # multi-member segments don't pay a failed first decompress + retry
+    isize = struct.unpack("<I", seg[-4:])[0]
+    cap = max((b - a) * 12, isize + (1 << 16), 1 << 20)
+    for _ in range(6):
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.gzip_decompress(seg, len(seg), out, cap)
+        if n >= 0:
+            return out[:n]
+        if n == -1:                       # output too small
+            cap *= 4
+            continue
+        raise RuntimeError(f"gz member decode failed at {a}")
+    raise RuntimeError("gz member output growth runaway")
+
+
 class ParallelGzChunks:
     """Member-parallel decompressor over an in-memory multi-member .gz blob.
 
@@ -267,25 +314,14 @@ class ParallelGzChunks:
             raise RuntimeError("native gzip_decompress unavailable")
         if threads < 2:
             raise RuntimeError("parallel decompress needs >= 2 threads")
-        d = np.frombuffer(data, dtype=np.uint8)
-        if d.size < 20 or d[0] != 0x1F or d[1] != 0x8B or d[2] != 0x08:
-            raise RuntimeError("not gzip")
-        hits = np.flatnonzero((d[:-3] == 0x1F) & (d[1:-2] == 0x8B)
-                              & (d[2:-1] == 0x08) & (d[3:] < 0x20))
-        # group candidates into segments of >= SEG_MIN compressed bytes
-        bounds = [0]
-        for h in hits[1:]:
-            if h - bounds[-1] >= self.SEG_MIN:
-                bounds.append(int(h))
-        if len(bounds) < 3:
+        segs = scan_gz_members(data, self.SEG_MIN)
+        if segs is None:
             raise RuntimeError("not multi-member enough to parallelize")
-        bounds.append(len(data))
         from concurrent.futures import ThreadPoolExecutor
         self.lib = lib
         self.data = data
         self.chunk_bytes = int(chunk_bytes)
-        self._segs = [(bounds[i], bounds[i + 1])
-                      for i in range(len(bounds) - 1)]
+        self._segs = segs
         self._pool = ThreadPoolExecutor(max_workers=threads)
         self._futs: list = []
         self._next_submit = 0
@@ -297,20 +333,7 @@ class ParallelGzChunks:
         self._fill()
 
     def _decompress_seg(self, a: int, b: int) -> np.ndarray:
-        seg = self.data[a:b]
-        import struct
-        isize = struct.unpack("<I", seg[-4:])[0]
-        cap = max((b - a) * 4, isize + (1 << 16), 1 << 20)
-        for _ in range(6):
-            out = np.empty(cap, dtype=np.uint8)
-            n = self.lib.gzip_decompress(seg, len(seg), out, cap)
-            if n >= 0:
-                return out[:n]
-            if n == -1:                       # output too small
-                cap *= 4
-                continue
-            raise RuntimeError(f"gz member decode failed at {a}")
-        raise RuntimeError("gz member output growth runaway")
+        return decompress_gz_segment(self.data, a, b)
 
     def _fill(self):
         while self._next_submit < len(self._segs) and \
