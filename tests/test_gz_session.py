@@ -149,3 +149,40 @@ def test_geno_reader_parallel_gz_env(tmp_path):
                         capture_output=True, cwd=REPO)
     assert r2.returncode == 0, r2.stderr.decode()[-1500:]
     assert out1.read_bytes() == out2.read_bytes()
+
+
+def test_fused_gz_false_boundary_recovers(tmp_path):
+    """A false member-boundary candidate (mid-member split) must be healed
+    by the fused reader's merge-and-retry, with output identical to the
+    sequential session."""
+    import numpy as np
+
+    from genomics_general_tpu.io import geno as geno_io
+    from genomics_general_tpu.testing import write_geno, write_pops_file
+    geno = tmp_path / "t.geno.gz"
+    pops = tmp_path / "p.txt"
+    inds = write_geno(str(geno), n_sites=200000, scaffold_len=6_000_000,
+                      n_scaffolds=2)
+    write_pops_file(str(pops), inds)
+
+    def read_all(mangle):
+        r = geno_io.GenoReader(str(geno), geno_format="phased")
+        if mangle:
+            assert r._gz_segs is not None and len(r._gz_segs) >= 2
+            # split the second segment at a NON-boundary byte: the left
+            # half ends mid-member and must fail + merge
+            (a, b) = r._gz_segs[1]
+            fake = (a + b) // 2
+            segs = [r._gz_segs[0], (a, fake), (fake, b)] + r._gz_segs[2:]
+            r._gz_segs = segs
+        chunks = list(r.iter_chunks(threads=2))
+        return (np.concatenate([c.alleles for c in chunks], axis=1),
+                np.concatenate([c.positions for c in chunks]),
+                np.concatenate([c.scaffold_ids for c in chunks]))
+
+    a1, p1, s1 = read_all(False)
+    a2, p2, s2 = read_all(True)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(s1, s2)
+    assert p1.size == 200000
