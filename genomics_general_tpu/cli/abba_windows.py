@@ -88,12 +88,10 @@ def main(argv=None, full_panel: bool = False) -> int:
         geno_format=args.genoFormat)
     pop_names = sd.pop_names
 
-    reader = geno_io.GenoReader(args.genoFile if args.genoFile else sys.stdin,
-                                sample_data=sd, geno_format=args.genoFormat,
-                                header=args.header)
-    model = reader.model
-
-    # device: counts for P1..P4 and their union in one dispatch
+    # device: counts for P1..P4 and their union in one dispatch (the row
+    # model depends only on SampleData, not on the input stream)
+    from ..samples import HaplotypeModel
+    model = HaplotypeModel.build(sd)
     pop_rows = [model.pop_row_indices[p] for p in pop_names]
     union_rows = np.unique(np.concatenate(pop_rows))
     mask = np.zeros((5, model.n_rows), dtype=np.float32)
@@ -146,6 +144,23 @@ def main(argv=None, full_panel: bool = False) -> int:
         shard_pred, mh_writer, wc_order_keys = None, None, None
         out, skip_windows, cursor = common.open_resumable_out(
             args, head + "\n")
+
+    # indexed sharded input: with a native {geno}.tbi each host reads only
+    # its owned scaffolds' BGZF blocks (parallel/multihost.indexed_input)
+    idx_stream = idx_names = None
+    if shard_pred is not None:
+        idx_stream, idx_names = multihost.indexed_input(args.genoFile,
+                                                        shard_pred)
+    if idx_stream is not None:
+        reader = geno_io.GenoReader(idx_stream, sample_data=sd,
+                                    geno_format=args.genoFormat,
+                                    header=args.header,
+                                    preseed_scaffolds=idx_names)
+        shard_pred = None                 # stream is already host-filtered
+    else:
+        reader = geno_io.GenoReader(
+            args.genoFile if args.genoFile else sys.stdin,
+            sample_data=sd, geno_format=args.genoFormat, header=args.header)
 
     mesh = common.get_mesh()
     timer = engine.StageTimer(args.profile)

@@ -178,6 +178,17 @@ def main(argv=None) -> int:
             incremental_every=inc_every if inc_every > 0 else None,
             open_out=lambda: writers.open_out(args.outFile), header=head)
         out = None
+        # indexed sharded input: with a native {geno}.tbi each host reads
+        # only its owned scaffolds' blocks (preseeded ids keep gather
+        # thresholds globally consistent)
+        idx_stream, idx_names = multihost.indexed_input(args.genoFile,
+                                                        shard_pred)
+        if idx_stream is not None:
+            reader = geno_io.GenoReader(idx_stream, sample_data=sd,
+                                        geno_format=args.genoFormat,
+                                        preseed_scaffolds=idx_names)
+            model = reader.model
+            shard_pred = None
     else:
         shard_pred, mh_writer = None, None
         out = writers.open_out(args.outFile)
@@ -389,6 +400,12 @@ def main(argv=None) -> int:
         if mh_writer is not None and frontier is not None:
             mh_writer.maybe_gather(frontier, reader.scaffold_names)
 
+    if mh_writer is not None:
+        # flush all remaining incremental rounds BEFORE finish: with
+        # indexed (subset) input streams hosts end at different frontiers,
+        # and the collective call counts must match everywhere
+        mh_writer.maybe_gather(len(reader.scaffold_names),
+                               reader.scaffold_names)
     if mh_writer is not None:
         out = None
         if multihost.process_index() == 0 and not mh_writer.incr:

@@ -126,10 +126,6 @@ def main(argv=None) -> int:
     mesh = common.get_mesh()
     timer = engine.StageTimer(args.profile)
     progress = engine.Progress(args.verbose)
-    reader = geno_io.GenoReader(args.genoFile if args.genoFile else sys.stdin,
-                                sample_data=sd, geno_format=args.genoFormat,
-                                header=args.header)
-    model = reader.model
 
     head = "windowID,scaffold,start,end,mid,sites," if args.addWindowID \
         else "scaffold,start,end,mid,sites,"
@@ -160,6 +156,26 @@ def main(argv=None) -> int:
         shard_pred, mh_writer = None, None
         out, skip_windows, cursor = common.open_resumable_out(
             args, header_line)
+
+    # indexed sharded input: with a native {geno}.tbi each host reads ONLY
+    # its owned scaffolds' BGZF blocks (parallel/multihost.indexed_input)
+    # instead of parsing the whole shared file and dropping the rest —
+    # parse cost scales ~1/N instead of being replicated per host
+    idx_stream = idx_names = None
+    if shard_pred is not None:
+        idx_stream, idx_names = multihost.indexed_input(args.genoFile,
+                                                        shard_pred)
+    if idx_stream is not None:
+        reader = geno_io.GenoReader(idx_stream, sample_data=sd,
+                                    geno_format=args.genoFormat,
+                                    header=args.header,
+                                    preseed_scaffolds=idx_names)
+        shard_pred = None                 # stream is already host-filtered
+    else:
+        reader = geno_io.GenoReader(
+            args.genoFile if args.genoFile else sys.stdin,
+            sample_data=sd, geno_format=args.genoFormat, header=args.header)
+    model = reader.model
 
     # single-host non-resume runs emit rows via the C formatter over the
     # binary buffer (one write channel; the text wrapper only carried the

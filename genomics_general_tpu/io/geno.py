@@ -47,7 +47,7 @@ def open_maybe_gz(path: str | None, mode: str = "rb"):
         if "r" in mode:
             return sys.stdin.buffer if "b" in mode else sys.stdin
         return sys.stdout.buffer if "b" in mode else sys.stdout
-    if path.endswith(".gz"):
+    if path.endswith((".gz", ".bgz")):
         return gzip.open(path, mode if "b" in mode else mode + "t")
     return open(path, mode)
 
@@ -165,7 +165,8 @@ class GenoReader:
 
     def __init__(self, fileobj, sample_data: SampleData | None = None,
                  geno_format: str = "phased", header: str | None = None,
-                 chunk_bytes: int | None = None):
+                 chunk_bytes: int | None = None,
+                 preseed_scaffolds: list | None = None):
         if chunk_bytes is None:
             # GGT_CHUNK_BYTES: test hook to force tiny streaming chunks
             # (bounded-memory regression tests drive every CLI through many
@@ -178,7 +179,8 @@ class GenoReader:
         self._gz_served = 0              # decompressed bytes already handed out
         self._sess_leftover: np.ndarray | None = None
         if isinstance(fileobj, str):
-            if fileobj.endswith(".gz") and os.path.getsize(fileobj) < (4 << 30) \
+            if fileobj.endswith((".gz", ".bgz")) \
+                    and os.path.getsize(fileobj) < (4 << 30) \
                     and os.environ.get("GGT_NO_NATIVE_PARSER") != "1":
                 # C streaming decompressor: serves line-aligned chunks
                 # without materializing the whole file (gzip members that fit
@@ -249,6 +251,13 @@ class GenoReader:
 
         self.scaffold_names: list[str] = []
         self._scaf_index: dict[bytes, int] = {}
+        if preseed_scaffolds:
+            # pre-register scaffold ids (multi-host indexed input: every
+            # host numbers scaffolds by the shared index order even though
+            # each stream only carries its own scaffolds)
+            for name in preseed_scaffolds:
+                self._scaf_index[name.encode()] = len(self.scaffold_names)
+                self.scaffold_names.append(name)
         # genotype-block layout (established from the first data line)
         self._field_widths: np.ndarray | None = None
         self._native = None
@@ -813,6 +822,7 @@ def rebind_reader(probe: GenoReader, sample_data: SampleData) -> GenoReader:
     r._whole_off = getattr(probe, "_whole_off", 0)
     r._gz_sess = probe._gz_sess
     r._gz_data = probe._gz_data
+    r._gz_segs = probe._gz_segs
     r._gz_served = probe._gz_served
     r._sess_leftover = probe._sess_leftover
     return r

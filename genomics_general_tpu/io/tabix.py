@@ -37,8 +37,13 @@ BGZF_EOF = bytes.fromhex(
 
 # --------------------------------------------------------------- binning
 
+MAX_COORD = 1 << 29          # the .tbi binning scheme's coordinate ceiling
+
+
 def reg2bin(beg: int, end: int) -> int:
     """Bin of a [beg, end) zero-based interval (tabix/UCSC scheme)."""
+    beg = min(beg, MAX_COORD - 1)
+    end = min(end, MAX_COORD)
     end -= 1
     if beg >> 14 == end >> 14:
         return ((1 << 15) - 1) // 7 + (beg >> 14)
@@ -55,6 +60,8 @@ def reg2bin(beg: int, end: int) -> int:
 
 def reg2bins(beg: int, end: int) -> list[int]:
     """All bins overlapping a [beg, end) zero-based interval."""
+    beg = min(beg, MAX_COORD - 1)
+    end = min(end, MAX_COORD)
     bins = [0]
     end -= 1
     for shift, off in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):

@@ -71,6 +71,93 @@ def shard_predicate(n_procs: int, rank: int):
     return lambda name: owner(name, n_procs) == rank
 
 
+class _IndexedScaffoldStream:
+    """File-like serving the geno header plus this host's owned scaffolds'
+    decompressed lines out of a BGZF+.tbi input, in global (index) order."""
+
+    def __init__(self, path: str, owned: list[str], header: bytes,
+                 idx, rd):
+        self._path = path
+        self._idx = idx
+        self._rd = rd
+        self._buf = header
+
+        def lines():
+            INT64_MAX = (1 << 63) - 1
+            from ..io import tabix as T
+            for name in owned:
+                for ln in T.region_lines(path, name, 1, INT64_MAX - 1,
+                                         index=idx, reader=rd):
+                    yield ln
+
+        self._lines = lines()
+        self._eof = False
+
+    def read(self, n: int) -> bytes:
+        while not self._eof and len(self._buf) < n:
+            parts = [self._buf]
+            got = len(self._buf)
+            for ln in self._lines:
+                parts.append(ln)
+                parts.append(b"\n")
+                got += len(ln) + 1
+                if got >= n:
+                    break
+            else:
+                self._eof = True
+            self._buf = b"".join(parts)
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+
+def indexed_input(geno_file: str | None, shard_pred):
+    """(stream, scaffold_names) reading ONLY this host's owned scaffolds
+    through a native ``{geno_file}.tbi`` index (io/tabix), or (None, None)
+    when no index exists.
+
+    Without an index every host decompresses and tokenizes the WHOLE
+    shared input and drops the scaffolds it does not own — parse cost is
+    replicated N-fold and bounds host scaling.  With the index each host
+    reads ~1/N of the blocks.  ``scaffold_names`` is the index's full
+    contig list: callers preseed the reader with it so scaffold ids (and
+    the incremental-gather thresholds derived from them) are globally
+    consistent across hosts even though each host only SEES its own
+    scaffolds."""
+    import os
+
+    if not geno_file or not os.path.exists(str(geno_file) + ".tbi"):
+        return None, None
+    from ..io import tabix as T
+    try:
+        idx = T.TabixIndex(str(geno_file) + ".tbi")
+        rd = T.BGZFReader(str(geno_file))
+        # header = leading '#' lines (read whole blocks until a data line)
+        header = b""
+        pos = 0
+        while True:
+            payload, pos = rd.block_at(pos)
+            header += payload
+            # stop once a complete non-# line exists
+            done = False
+            off = 0
+            while True:
+                nl = header.find(b"\n", off)
+                if nl < 0:
+                    break
+                if nl > off and not header[off:nl].startswith(b"#"):
+                    done = True
+                    break
+                off = nl + 1
+            if done or not payload:
+                header = header[:off]
+                break
+    except (ValueError, OSError):
+        return None, None
+    owned = [n for n in idx.names if shard_pred(n)]
+    return _IndexedScaffoldStream(str(geno_file), owned, header, idx, rd), \
+        list(idx.names)
+
+
 def mesh_reduce_stacked(stacked, mesh, op: str = "sum"):
     """Reduce a host-stacked [k, ...] array over a device mesh axis.
 

@@ -417,3 +417,106 @@ def test_two_process_filter_genotypes_incremental_gather(tmp_path):
     assert dist.read_bytes() == single.read_bytes()
     assert len(peaks) == 2
     assert max(peaks) < single.stat().st_size
+
+
+def test_two_process_popgen_indexed_input(tmp_path):
+    """With a native .tbi next to a BGZF geno, each host reads ONLY its
+    owned scaffolds' blocks (multihost.indexed_input) — output must stay
+    byte-identical to the 1-process run over the plain file."""
+    from genomics_general_tpu.io import tabix as T
+    bgz = tmp_path / "sim1.geno.bgz"
+    T.bgzip_file(str(D / "sim1.geno.gz"), str(bgz))
+    T.build_index(str(bgz), preset="geno")
+
+    def argv(geno, out):
+        return [sys.executable, "-m",
+                "genomics_general_tpu.cli.popgen_windows",
+                "-g", geno, "-f", "phased",
+                "-p", "pop1", "-p", "pop2", "-p", "pop3", "-p", "pop4",
+                "--popsFile", str(D / "sim1.pops.txt"),
+                "-w", "50000", "-m", "50",
+                "--analysis", "popDist", "popPairDist", "-o", out]
+
+    single = tmp_path / "single.csv"
+    r = subprocess.run(argv(str(D / "sim1.geno.gz"), str(single)),
+                       env=_clean_env({}), capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    dist = tmp_path / "dist.csv"
+    port = _free_port()
+    procs = [subprocess.Popen(
+        argv(str(bgz), str(dist)),
+        env=_clean_env({"GGT_COORDINATOR": f"127.0.0.1:{port}",
+                        "GGT_NUM_PROCS": "2", "GGT_PROC_ID": str(pid)}),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE) for pid in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+    assert dist.read_bytes() == single.read_bytes()
+
+
+def test_two_process_freq_indexed_incremental(tmp_path):
+    """Indexed sharded input + incremental gather together: each host reads
+    only its owned scaffolds' blocks AND host 0 writes scaffold groups
+    while streaming — byte-identical to 1-process over the plain file
+    (collective round counts must align even though hosts' streams end at
+    different frontiers)."""
+    from genomics_general_tpu.io import tabix as T
+    bgz = tmp_path / "sim1.geno.bgz"
+    T.bgzip_file(str(D / "sim1.geno.gz"), str(bgz))
+    T.build_index(str(bgz), preset="geno")
+
+    def argv(geno, out):
+        return [sys.executable, "-m", "genomics_general_tpu.cli.freq",
+                "-g", geno, "-f", "phased",
+                "-p", "pop1", "-p", "pop2", "-p", "pop3", "-p", "pop4",
+                "--popsFile", str(D / "sim1.pops.txt"), "-o", out]
+
+    single = tmp_path / "single.tsv"
+    r = subprocess.run(argv(str(D / "sim1.geno.gz"), str(single)),
+                       env=_clean_env({}), capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    dist = tmp_path / "dist.tsv"
+    port = _free_port()
+    procs = [subprocess.Popen(
+        argv(str(bgz), str(dist)),
+        env=_clean_env({"GGT_COORDINATOR": f"127.0.0.1:{port}",
+                        "GGT_NUM_PROCS": "2", "GGT_PROC_ID": str(pid),
+                        "GGT_GATHER_SCAFS": "1"}),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE) for pid in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+    assert dist.read_bytes() == single.read_bytes()
+
+
+def test_two_process_abba_indexed_input(tmp_path):
+    from genomics_general_tpu.io import tabix as T
+    bgz = tmp_path / "sim1.geno.bgz"
+    T.bgzip_file(str(D / "sim1.geno.gz"), str(bgz))
+    T.build_index(str(bgz), preset="geno")
+
+    def argv(geno, out):
+        return [sys.executable, "-m", "genomics_general_tpu.cli.abba_windows",
+                "-g", geno, "-f", "phased",
+                "-w", "50000", "-s", "25000", "-m", "50", "--minData", "0.3",
+                "-P1", "pop1", "-P2", "pop2", "-P3", "pop3", "-O", "pop4",
+                "--popsFile", str(D / "sim1.pops.txt"),
+                "--writeFailedWindows", "-o", out]
+
+    single = tmp_path / "single.csv"
+    r = subprocess.run(argv(str(D / "sim1.geno.gz"), str(single)),
+                       env=_clean_env({}), capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    dist = tmp_path / "dist.csv"
+    port = _free_port()
+    procs = [subprocess.Popen(
+        argv(str(bgz), str(dist)),
+        env=_clean_env({"GGT_COORDINATOR": f"127.0.0.1:{port}",
+                        "GGT_NUM_PROCS": "2", "GGT_PROC_ID": str(pid)}),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE) for pid in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+    assert dist.read_bytes() == single.read_bytes()
