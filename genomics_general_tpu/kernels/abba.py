@@ -282,13 +282,14 @@ def host_window_abba_sums(alleles: np.ndarray, first: np.ndarray,
             sub = alleles[np.flatnonzero(membership & (1 << p))]
             for c in range(4):
                 counts[:, p, c] = (sub == c).sum(axis=0)
-    counts = counts.astype(np.float64)
-    nonmiss = counts.sum(axis=2)                      # [S, 5]
+    # gate on the integer counts; only gated sites convert to float64
+    # (the full [S, 5, 4] f64 conversion was ~40 MB of traffic per flush)
+    nonmiss_i = counts.sum(axis=2, dtype=np.int32)    # [S, 5]
     biallelic = (counts[:, 4, :] > 0).sum(axis=1) == 2
     enough = np.ones(S, dtype=bool)
     n_pops = np.asarray(n_pops, dtype=np.float64)
     for k in range(4):
-        enough &= (nonmiss[:, k] / n_pops[k]) >= min_data
+        enough &= (nonmiss_i[:, k] / n_pops[k]) >= min_data
     good = biallelic & enough
     g = np.flatnonzero(good)
     # selection on [Sg, 4], then FLATTEN to the selected (site, allele)
@@ -299,9 +300,9 @@ def host_window_abba_sums(alleles: np.ndarray, first: np.ndarray,
     terms = np.zeros((0, K - 2), np.float64)
     si = np.zeros(0, np.int64)
     if g.size:
-        cg = counts[g]
+        cg = counts[g].astype(np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
-            freqs = cg / nonmiss[g][:, :, None]
+            freqs = cg / nonmiss_i[g].astype(np.float64)[:, :, None]
         ucp = cg[:, 4, :] > 0
         P1, P2, P3, P4 = (freqs[:, k, :] for k in range(4))
         if mode == "polarize":
