@@ -448,7 +448,7 @@ def stream_windows(reader, wind: dict, include=None, exclude=None,
                 snap, _slice_plan(full, a, a + max_flush_windows))
 
     def make_batch(snap, plan) -> StreamBatch:
-        nonlocal pending, pending_windows, window_offset
+        nonlocal window_offset
         # pieces are in absolute coordinates; rebase to the batch view,
         # which starts at base_abs
         plan.first -= base_abs
