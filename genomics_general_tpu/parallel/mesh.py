@@ -71,6 +71,42 @@ def sharded_window_pair_counts(alleles: np.ndarray, first: np.ndarray,
     return np.asarray(m)[:W], np.asarray(s)[:W]
 
 
+def sharded_pair_counts_tp(alleles: np.ndarray, first: np.ndarray,
+                           n_sites: np.ndarray, mesh: Mesh,
+                           s_max: int | None = None):
+    """Tensor-parallel pair counts: the HAPLOTYPE (row) axis of the
+    [W, H, H] output is sharded over the mesh (SURVEY §2.10 TP — the
+    optional strategy for very large cohorts, where a single device cannot
+    hold the [W, H, H] blocks).  The allele matrix is replicated; each
+    device computes its row-block of every window's matrix (XLA partitions
+    the Gram matmuls by output rows — no collectives on the hot path).
+    Returns numpy (mismatch [W, H, H], shared [W, H, H])."""
+    n_dev = mesh.devices.size
+    W = first.shape[0]
+    H = alleles.shape[0]
+    if s_max is None:
+        s_max = max(256, int((int(n_sites.max()) if W else 1) + 255)
+                    // 256 * 256)
+    Hp = ((H + n_dev - 1) // n_dev) * n_dev
+    a = np.full((Hp, alleles.shape[1]), -1, dtype=np.int8)
+    a[:H] = alleles
+    rows = NamedSharding(mesh, P(None, "data", None))     # [W, i, j] rows
+    repl = NamedSharding(mesh, P())
+    a_d = jax.device_put(jnp.asarray(a), repl)
+    f_d = jax.device_put(jnp.asarray(first.astype(np.int32)), repl)
+    ns_d = jax.device_put(jnp.asarray(n_sites.astype(np.int32)), repl)
+
+    @functools.partial(jax.jit, static_argnames=("s_max",),
+                       out_shardings=(rows, rows))
+    def step(alleles, first, n_sites, s_max):
+        from ..kernels.pairdist import gather_window_batch, pairwise_counts
+        wa, valid = gather_window_batch(alleles, first, n_sites, s_max)
+        return pairwise_counts(wa, valid)
+
+    m, s = step(a_d, f_d, ns_d, s_max)
+    return np.asarray(m)[:, :H, :H], np.asarray(s)[:, :H, :H]
+
+
 def sharded_site_pop_counts(alleles: np.ndarray, pop_mask: np.ndarray,
                             mesh: Mesh):
     """Sequence-parallel allele counting: the site axis is sharded over the

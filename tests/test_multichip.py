@@ -37,6 +37,27 @@ def test_sharded_pair_counts_match_single(data):
     np.testing.assert_array_equal(shar, s1)
 
 
+def test_sharded_pair_counts_tp_match_single(data):
+    """Tensor-parallel variant: the haplotype rows of the [W, H, H] output
+    shard over the mesh (SURVEY §2.10 TP, for cohorts whose pair blocks
+    exceed one device's memory) — results equal the single-device kernel."""
+    import jax.numpy as jnp
+
+    from genomics_general_tpu.kernels.pairdist import window_pair_counts
+    from genomics_general_tpu.parallel import mesh as pmesh
+
+    alleles, _ = data
+    first = np.array([0, 700, 1500, 2300], np.int32)
+    n_s = np.array([700, 800, 800, 700], np.int32)
+    m = pmesh.make_mesh()
+    mism, shar = pmesh.sharded_pair_counts_tp(alleles, first, n_s, m,
+                                              s_max=1024)
+    m1, s1 = window_pair_counts(jnp.asarray(alleles), first, n_s,
+                                batch_size=8, bucket_rounding=1024)
+    np.testing.assert_array_equal(mism, m1)
+    np.testing.assert_array_equal(shar, s1)
+
+
 def test_sharded_site_counts_match_single(data):
     from genomics_general_tpu.kernels import counts as counts_k
     from genomics_general_tpu.parallel import mesh as pmesh
