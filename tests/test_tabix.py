@@ -100,3 +100,21 @@ def test_tabix_index_cli(tmp_path):
     got = [int(ln.split(b"\t")[1])
            for ln in T.region_lines(str(bgz), "sc", 1000, 1100)]
     assert got == [p for p in range(5, 30000, 11) if 1000 <= p <= 1100]
+
+
+def test_region_fuzz(vcf_fixture):
+    """200 random regions across sizes/edges vs the full-scan oracle."""
+    bgz, recs = vcf_fixture
+    rng = random.Random(17)
+    idx = T.TabixIndex(str(bgz) + ".tbi")
+    rd = T.BGZFReader(str(bgz))
+    max_pos = max(p for _, p, _ in recs)
+    for _ in range(200):
+        chrom = rng.choice(["c1", "c2", "c3", "nope"])
+        start = rng.randint(1, max_pos + 1000)
+        end = start + rng.choice([0, 1, 50, 1000, 50000, 10**7])
+        got = [(ln.split(b"\t")[0].decode(), int(ln.split(b"\t")[1]))
+               for ln in T.region_lines(str(bgz), chrom, start, end,
+                                        index=idx, reader=rd)]
+        assert got == _oracle(recs, chrom, start, end), (chrom, start, end)
+    rd.close()
