@@ -109,9 +109,22 @@ def main(argv=None) -> int:
 
     sd = SampleData(ind_names=list(samples), ploidy=ploidy)
     header = "\t".join(args.headers) if args.headers else None
-    reader = geno_io.GenoReader(args.genoFile if args.genoFile else sys.stdin,
-                                sample_data=sd, geno_format=args.genoFormat,
-                                header=header)
+    # indexed sharded input: with a native {geno}.tbi each host reads only
+    # its owned scaffolds' blocks
+    idx_stream = idx_names = None
+    if shard_pred is not None:
+        idx_stream, idx_names = multihost.indexed_input(args.genoFile,
+                                                        shard_pred)
+    if idx_stream is not None:
+        reader = geno_io.GenoReader(idx_stream, sample_data=sd,
+                                    geno_format=args.genoFormat,
+                                    header=header,
+                                    preseed_scaffolds=idx_names)
+        shard_pred = None
+    else:
+        reader = geno_io.GenoReader(
+            args.genoFile if args.genoFile else sys.stdin,
+            sample_data=sd, geno_format=args.genoFormat, header=header)
     model = reader.model
     n_ind = len(samples)
     progress = engine.Progress(args.verbose)

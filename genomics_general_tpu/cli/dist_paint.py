@@ -125,6 +125,16 @@ def main(argv=None) -> int:
                                                multihost.process_index())
         mh_writer = multihost.MultiHostWriter()
         out = None
+        # indexed sharded input: with a native {geno}.tbi each host reads
+        # only its owned scaffolds' blocks
+        idx_stream, idx_names = multihost.indexed_input(args.genoFile,
+                                                        shard_pred)
+        if idx_stream is not None:
+            reader = geno_io.GenoReader(idx_stream, sample_data=sd,
+                                        geno_format="haplo",
+                                        header=args.header,
+                                        preseed_scaffolds=idx_names)
+            shard_pred = None
     else:
         shard_pred, mh_writer = None, None
         out = writers.open_out(args.outFile)

@@ -245,6 +245,19 @@ def main(argv=None) -> int:
             incremental_every=inc_every if inc_every > 0 else None,
             open_out=lambda: writers.open_out(args.outfile), header=head)
         out = None
+        # indexed sharded input: with a native {geno}.tbi each host reads
+        # only its owned scaffolds' blocks.  The ploidy peek above already
+        # derived what it needed; the peeked first chunk is discarded (the
+        # indexed stream serves everything from the start)
+        idx_stream, idx_names = multihost.indexed_input(args.infile,
+                                                        shard_pred)
+        if idx_stream is not None:
+            reader = geno_io.GenoReader(idx_stream, sample_data=sd,
+                                        geno_format=args.inputGenoFormat,
+                                        preseed_scaffolds=idx_names)
+            model = reader.model
+            first_chunk = None
+            shard_pred = None
     else:
         shard_pred, mh_writer = None, None
         out = writers.open_out(args.outfile)
@@ -468,6 +481,12 @@ def main(argv=None) -> int:
 
     if mh_writer is not None:
         import os as _os
+        # flush all remaining incremental rounds BEFORE finish: with
+        # indexed (subset) input streams hosts end at different frontiers
+        # (a host owning nothing never saw a chunk), and the collective
+        # call counts must match everywhere
+        mh_writer.maybe_gather(len(reader.scaffold_names),
+                               reader.scaffold_names)
         out = None
         if multihost.process_index() == 0 and not mh_writer.incr:
             out = writers.open_out(args.outfile)

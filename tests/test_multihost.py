@@ -520,3 +520,36 @@ def test_two_process_abba_indexed_input(tmp_path):
         out, err = p.communicate(timeout=600)
         assert p.returncode == 0, err.decode()[-2000:]
     assert dist.read_bytes() == single.read_bytes()
+
+
+def test_two_process_filter_genotypes_indexed_input(tmp_path):
+    """Indexed sharded input for filterGenotypes: the ploidy/first-chunk
+    peek is discarded when switching to the host-filtered stream; output
+    byte-identical to 1-process over the plain file."""
+    from genomics_general_tpu.io import tabix as T
+    bgz = tmp_path / "sim1.geno.bgz"
+    T.bgzip_file(str(D / "sim1.geno.gz"), str(bgz))
+    T.build_index(str(bgz), preset="geno")
+
+    def argv(geno, out):
+        return [sys.executable, "-m",
+                "genomics_general_tpu.cli.filter_genotypes",
+                "-i", geno, "-if", "phased", "-of", "phased",
+                "--minCalls", "15", "--minAlleles", "2", "-o", out]
+
+    single = tmp_path / "single.geno"
+    r = subprocess.run(argv(str(D / "sim1.geno.gz"), str(single)),
+                       env=_clean_env({}), capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    dist = tmp_path / "dist.geno"
+    port = _free_port()
+    procs = [subprocess.Popen(
+        argv(str(bgz), str(dist)),
+        env=_clean_env({"GGT_COORDINATOR": f"127.0.0.1:{port}",
+                        "GGT_NUM_PROCS": "2", "GGT_PROC_ID": str(pid),
+                        "GGT_GATHER_SCAFS": "1"}),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE) for pid in range(2)]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+    assert dist.read_bytes() == single.read_bytes()
