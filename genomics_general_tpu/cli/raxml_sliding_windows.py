@@ -25,7 +25,6 @@ import numpy as np
 from ..io import geno as geno_io
 from ..io.writers import make_aln_string
 from ..samples import SampleData
-from ..stats.nj import jukes_cantor, neighbor_joining
 from . import common
 from .phyml_sliding_windows import codes_to_rows, nj_window_tree
 

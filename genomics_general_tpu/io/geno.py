@@ -27,7 +27,6 @@ replaces the numpy chunk parser; semantics are identical.
 from __future__ import annotations
 
 import gzip
-import io as _io
 import os
 import sys
 from dataclasses import dataclass

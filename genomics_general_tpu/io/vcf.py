@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import gzip
 import re
-import sys
-from collections import defaultdict
 
 import numpy as np
 
