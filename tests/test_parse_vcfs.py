@@ -203,3 +203,44 @@ def test_parallel_chunks_adversarial_boundaries(tmp_path):
             ("slow", {"GGT_HOST_VCF": "0"}, [])]:
         got = run(str(tmp_path / f"{name}.geno"), env, extra)
         assert got == base, name
+
+
+def test_five_file_merge_disjoint_scaffolds(tmp_path):
+    """5 files with heavily asymmetric scaffold sets (incl. a file with a
+    single scaffold and varying sample counts): fast C merge == serial walk
+    for union and intersect."""
+    import os
+    import random
+    import subprocess
+    import sys
+    rng = random.Random(99)
+    chrom_sets = [("c1", "c2", "c3"), ("c2", "c4"),
+                  ("c1", "c3", "c4", "c5"), ("c5",),
+                  ("c1", "c2", "c3", "c4", "c5")]
+    files = []
+    for i, cs in enumerate(chrom_sets):
+        p = tmp_path / f"f{i}.vcf"
+        _write_adv_vcf(p, rng, cs, n_sites=300,
+                       samples=tuple(f"s{i}_{j}" for j in range(i + 1)))
+        files.append(str(p))
+    fai = tmp_path / "g.fai"
+    fai.write_text("".join(f"c{k}\t100000\n" for k in range(1, 6)))
+
+    def run(method, env_extra, out):
+        e = dict(os.environ)
+        e.update(env_extra)
+        r = subprocess.run(
+            [sys.executable, "-m", "genomics_general_tpu.cli.parse_vcfs",
+             *sum([["-i", f] for f in files], []),
+             "-f", str(fai), "-M", method, "--minQual", "30",
+             "-t", "2", "-o", out],
+            capture_output=True, env=e, cwd=Path(__file__).parent.parent)
+        assert r.returncode == 0, r.stderr.decode()[-1500:]
+        return open(out, "rb").read()
+
+    for method in ("union", "intersect"):
+        fast = run(method, {}, str(tmp_path / f"fast_{method}.geno"))
+        slow = run(method, {"GGT_HOST_VCF": "0"},
+                   str(tmp_path / f"slow_{method}.geno"))
+        assert fast == slow, method
+    assert fast.count(b"\n") >= 1                  # intersect: header only
